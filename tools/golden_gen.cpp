@@ -1,0 +1,322 @@
+// Golden-value generator for parity tests.
+//
+// Compiles against the UNMODIFIED reference headers (mounted read-only at
+// /root/reference) and dumps reference-computed values as JSON fixtures that
+// the Python test suite asserts against.  This file is test tooling only; no
+// reference code is copied into the new framework.
+//
+// Build:  g++ -std=c++14 -O2 -I/root/reference -o golden_gen golden_gen.cpp
+// Run:    ./golden_gen <model_hand.json> <animbank.pose> <outdir>
+
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <random>
+#include <sstream>
+
+#include "third_party/misc_json.h"
+
+// g++ two-phase lookup can't find the global-namespace linalg JSON adapters
+// from inside json.h's templates via ADL (clang, which the reference targets,
+// is laxer).  Provide forwarders in namespace linalg so ADL succeeds.
+namespace linalg {
+template <class T, int M> void from_json(vec<T, M> &o, const ::json::value &v) { ::from_json(o, v); }
+template <class T, int M> ::json::value to_json(const vec<T, M> &o) { return ::to_json(o); }
+}
+
+#include "third_party/physics.h"
+#include "include/physmodel.h"
+#include "include/handtrack.h"
+#include "include/misc_image.h"
+
+static std::ostringstream g_out;
+static bool g_first_in_scope = true;
+
+static void key(const char *k) {
+    if (!g_first_in_scope) g_out << ",";
+    g_first_in_scope = false;
+    g_out << "\n\"" << k << "\": ";
+}
+static void arr_begin() { g_out << "["; }
+static void arr_end() { g_out << "]"; }
+template <class T> void num(T v, bool first) { if (!first) g_out << ","; g_out << v; }
+
+static void dump_floats(const char *k, const float *p, size_t n) {
+    key(k); arr_begin();
+    for (size_t i = 0; i < n; i++) num(p[i], i == 0);
+    arr_end();
+}
+static void dump_pose_array(const char *k, const std::vector<Pose> &poses) {
+    key(k); arr_begin();
+    for (size_t i = 0; i < poses.size(); i++) {
+        if (i) g_out << ",";
+        g_out << "[" << poses[i].position.x << "," << poses[i].position.y << ","
+              << poses[i].position.z << "," << poses[i].orientation.x << ","
+              << poses[i].orientation.y << "," << poses[i].orientation.z << ","
+              << poses[i].orientation.w << "]";
+    }
+    arr_end();
+}
+static void dump_float3s(const char *k, const std::vector<float3> &v) {
+    key(k); arr_begin();
+    for (size_t i = 0; i < v.size(); i++) {
+        if (i) g_out << ",";
+        g_out << "[" << v[i].x << "," << v[i].y << "," << v[i].z << "]";
+    }
+    arr_end();
+}
+
+// Deterministic point cloud around the hand for fitting goldens.
+static std::vector<float3> synth_points(PhysModel &m, int n, unsigned seed) {
+    std::mt19937 rng(seed);
+    std::uniform_real_distribution<float> u(-1.f, 1.f);
+    std::vector<float3> pts;
+    auto rbs = Addresses(m.rigidbodies);
+    while ((int)pts.size() < n) {
+        int b = rng() % m.rigidbodies.size();
+        auto &rb = m.rigidbodies[b];
+        float3 d = normalize(float3(u(rng), u(rng), u(rng)));
+        // point on/near the hull surface along d plus small noise
+        float3 local = d * (rb.radius_inner + 0.004f * (u(rng) + 1.f));
+        pts.push_back(rb.pose() * local);
+    }
+    return pts;
+}
+
+int main(int argc, char **argv) {
+    const char *model_path = argc > 1 ? argv[1] : "/root/reference/assets/model_hand.json";
+    const char *anim_path = argc > 2 ? argv[2] : "/root/reference/assets/animbank.pose";
+    std::string outdir = argc > 3 ? argv[3] : ".";
+    (void)anim_path;
+
+    g_out << "{";
+
+    // ---- baked model ----
+    PhysModel model(model_path);
+    {
+        std::vector<float> coms, startpos, radii, radii_inner, tinv, masses;
+        std::vector<float> plane_counts, vert_counts;
+        for (auto &rb : model.rigidbodies) {
+            coms.insert(coms.end(), {rb.com.x, rb.com.y, rb.com.z});
+            startpos.insert(startpos.end(), {rb.position_start.x, rb.position_start.y, rb.position_start.z});
+            radii.push_back(rb.radius);
+            radii_inner.push_back(rb.radius_inner);
+            masses.push_back(rb.mass);
+            for (int i = 0; i < 3; i++) for (int j = 0; j < 3; j++)
+                tinv.push_back(rb.tensorinv_massless[i][j]);
+            plane_counts.push_back((float)rb.shapes[0].planes.size());
+            // count of hull-used verts = max index in tris + 1
+            int mx = -1;
+            for (auto &t : rb.shapes[0].tris) mx = std::max(mx, std::max(t.x, std::max(t.y, t.z)));
+            vert_counts.push_back((float)(mx + 1));
+        }
+        dump_floats("model_com", coms.data(), coms.size());
+        dump_floats("model_startpos", startpos.data(), startpos.size());
+        dump_floats("model_radius", radii.data(), radii.size());
+        dump_floats("model_radius_inner", radii_inner.data(), radii_inner.size());
+        dump_floats("model_mass", masses.data(), masses.size());
+        dump_floats("model_tensorinv", tinv.data(), tinv.size());
+        dump_floats("model_plane_counts", plane_counts.data(), plane_counts.size());
+        dump_floats("model_vert_counts", vert_counts.data(), vert_counts.size());
+        // full plane set of bone 5 (index finger base) for exact comparison
+        std::vector<float> p5;
+        for (auto &p : model.rigidbodies[5].shapes[0].planes)
+            p5.insert(p5.end(), {p.x, p.y, p.z, p.w});
+        dump_floats("model_planes_bone5", p5.data(), p5.size());
+        // raw 2x-subdivided verts of bone 0 (pre-hull, rig space)
+        dump_float3s("model_subdiv_bone0", model.subdivs[0].verts);
+        // hull verts for every bone (COM frame), concatenated
+        {
+            std::vector<float3> all;
+            for (auto &rb : model.rigidbodies) {
+                int mx = -1;
+                for (auto &t : rb.shapes[0].tris) mx = std::max(mx, std::max(t.x, std::max(t.y, t.z)));
+                all.insert(all.end(), rb.shapes[0].verts.begin(), rb.shapes[0].verts.begin() + mx + 1);
+            }
+            dump_float3s("model_hullverts_all", all);
+        }
+        // hull verts of bone 0 (COM frame, post-ctor) - first vert_count entries
+        {
+            auto &rb = model.rigidbodies[0];
+            int mx = -1;
+            for (auto &t : rb.shapes[0].tris) mx = std::max(mx, std::max(t.x, std::max(t.y, t.z)));
+            std::vector<float3> hv(rb.shapes[0].verts.begin(), rb.shapes[0].verts.begin() + mx + 1);
+            dump_float3s("model_hullverts_bone0", hv);
+        }
+    }
+
+    // ---- quaternion / constraint-factory goldens ----
+    {
+        float4 q0 = normalize(float4(0.2f, -0.3f, 0.5f, 0.79f));
+        float4 q1 = normalize(float4(-0.1f, 0.62f, 0.15f, 0.5f));
+        auto qm = qmul(q0, q1);
+        float qv[4] = {qm.x, qm.y, qm.z, qm.w};
+        dump_floats("qmul", qv, 4);
+        float3 r = qrot(q0, float3(0.3f, -0.7f, 1.1f));
+        float rv[3] = {r.x, r.y, r.z};
+        dump_floats("qrot", rv, 3);
+        auto qft = quat_from_to(float3(0.3f, 0.2f, 0.93f), float3(-0.5f, 0.7f, 0.1f));
+        float fv[4] = {qft.x, qft.y, qft.z, qft.w};
+        dump_floats("quat_from_to", fv, 4);
+    }
+
+    // ---- physics solve golden #1: joint constraints only, gravity off ----
+    {
+        PhysModel m(model_path);
+        physics_gravity = {0, 0, 0};
+        physics_driftmax = 0.03f / 8.0f;
+        physics_use_collision = 0;  // pure joint solve
+        // perturb poses deterministically
+        std::mt19937 rng(7);
+        std::uniform_real_distribution<float> u(-1.f, 1.f);
+        for (auto &rb : m.rigidbodies) {
+            rb.position += float3(u(rng), u(rng), u(rng)) * 0.01f;
+            rb.orientation = normalize(rb.orientation + float4(u(rng), u(rng), u(rng), u(rng)) * 0.05f);
+        }
+        dump_pose_array("solve1_pose_in", m.GetPose());
+        for (int it = 0; it < 3; it++) {
+            auto lin = m.GetLinearConstraints();
+            auto ang = m.GetAngularConstraints();
+            PhysicsUpdate(Addresses(m.rigidbodies), lin, ang, {});
+        }
+        dump_pose_array("solve1_pose_out", m.GetPose());
+    }
+
+    // ---- physics solve golden #2: FitPointCloud with synthetic points ----
+    {
+        PhysModel m(model_path);
+        physics_gravity = {0, 0, 0};
+        physics_driftmax = 0.03f / 8.0f;
+        physics_use_collision = 0;
+        auto pts = synth_points(m, 128, 42);
+        dump_float3s("solve2_points", pts);
+        // shift the model so the fit has work to do
+        for (auto &rb : m.rigidbodies) rb.position += float3(0.004f, -0.006f, 0.008f);
+        dump_pose_array("solve2_pose_in", m.GetPose());
+        for (int it = 0; it < 4; it++)
+            m.FitPointCloud(pts);
+        dump_pose_array("solve2_pose_out", m.GetPose());
+    }
+
+    // ---- closest()/CloudConstraint correspondence golden ----
+    {
+        PhysModel m(model_path);
+        auto pts = synth_points(m, 64, 99);
+        std::vector<float> planes_out, rb_out;
+        for (auto &v : pts) {
+            RigidBody *rb; float4 p;
+            std::tie(rb, p) = closest(Addresses(m.rigidbodies), v);
+            rb_out.push_back((float)IndexOf(Addresses(m.rigidbodies), rb));
+            planes_out.insert(planes_out.end(), {p.x, p.y, p.z, p.w});
+        }
+        dump_float3s("closest_points", pts);
+        dump_floats("closest_rb", rb_out.data(), rb_out.size());
+        dump_floats("closest_planes", planes_out.data(), planes_out.size());
+    }
+
+    // ---- FitError golden ----
+    {
+        PhysModel m(model_path);
+        auto pts = synth_points(m, 96, 1234);
+        Image<unsigned short> dimage(int2(320, 240), (unsigned short)800);
+        dimage.cam.pose = Pose();
+        float fe = FitError(m, pts, dimage);
+        dump_floats("fit_error", &fe, 1);
+        dump_float3s("fit_error_points", pts);
+    }
+
+    // ---- heatmap render/decode goldens ----
+    {
+        DCamera hcam(int2(16, 16));
+        auto hm = RenderHeatMap(float2(7.3f, 4.6f), hcam);
+        std::vector<float> hmf;
+        for (auto c : hm.raster) hmf.push_back((float)c);
+        dump_floats("heatmap_7p3_4p6", hmf.data(), hmf.size());
+        Image<float> fmap = Transform(hm, [](unsigned char c) { return GrayScaleToFloat(c); });
+        int2 mx = ImageFindMax(fmap);
+        float2 pk = PeakSubPixel(fmap, mx);
+        float pv = PeakVolume(fmap, pk);
+        float dec[5] = {(float)mx.x, (float)mx.y, pk.x, pk.y, pv};
+        dump_floats("heatmap_decode", dec, 5);
+        auto vm = Render1DHeatMaps({0.2f, 0.55f, 0.91f}, 16);
+        std::vector<float> vmf;
+        for (auto c : vm.raster) vmf.push_back((float)c);
+        dump_floats("heatmap1d", vmf.data(), vmf.size());
+    }
+
+    // ---- segmentation golden on a synthetic depth image ----
+    {
+        Image<unsigned short> depth(int2(320, 240), (unsigned short)4000);
+        // camera defaults (DCamera ctor), depth_scale 0.001
+        // paint a fake "hand+arm" blob entering from the bottom edge
+        for (auto p : rect_iteration(depth.dim())) {
+            float cx = 170.0f, cy = 120.0f;
+            float d2 = (p.x - cx) * (p.x - cx) + (p.y - cy) * (p.y - cy);
+            if (d2 < 45 * 45) depth.pixel(p) = (unsigned short)(400 + d2 * 0.01f);
+            if (std::abs(p.x - 150) < 18 && p.y > 120) depth.pixel(p) = 430;  // arm to bottom
+        }
+        auto seg = HandSegmentVR(depth, 0xF, {0.1f, 0.7f}, 0.17f);
+        std::vector<float> segf;
+        for (auto c : seg.raster) segf.push_back((float)c);
+        dump_floats("segment_raster", segf.data(), segf.size());
+        float segcam[10] = {(float)seg.cam.dim().x, (float)seg.cam.dim().y,
+                            seg.cam.focal().x, seg.cam.focal().y,
+                            seg.cam.principal().x, seg.cam.principal().y,
+                            seg.cam.pose.orientation.x, seg.cam.pose.orientation.y,
+                            seg.cam.pose.orientation.z, seg.cam.pose.orientation.w};
+        dump_floats("segment_cam", segcam, 10);
+        // distance transform intermediate
+        Image<unsigned short> depthsmall = DownSampleMin(DownSampleMin(depth));
+        ushort2 wranged = ushort2(float2(0.1f, 0.7f) / depth.cam.depth_scale);
+        auto dt = DistanceTransform(Threshold(depthsmall, [wranged](unsigned short d) { return d < wranged.y; }));
+        std::vector<float> dtf;
+        for (auto c : dt.raster) dtf.push_back((float)c);
+        dump_floats("segment_dt", dtf.data(), dtf.size());
+    }
+
+    // ---- CNN forward golden (Xavier-init net, fixed rng) ----
+    {
+        CNN cnn = PoseInitializerCNN("/nonexistent.cnnb");  // init only
+        std::vector<float> input(64 * 64);
+        std::mt19937 rng(5);
+        std::uniform_real_distribution<float> u(0.f, 1.f);
+        for (auto &x : input) x = u(rng);
+        auto out = cnn.Eval(input);
+        dump_floats("cnn_input", input.data(), input.size());
+        dump_floats("cnn_output", out.data(), out.size());
+        // train one step and re-eval
+        std::vector<float> target(out.size(), 0.0f);
+        for (size_t i = 0; i < 8; i++) target[i * 256 + 37] = 1.0f;  // arbitrary peaks
+        for (size_t i = 0; i < 16; i++) target[2048 + i * 16 + 5] = 1.0f;
+        float mse = cnn.Train(input, target, 0.001f);
+        dump_floats("cnn_train_mse", &mse, 1);
+        auto out2 = cnn.Eval(input);
+        dump_floats("cnn_output_after_step", out2.data(), out2.size());
+        std::ofstream ws(outdir + "/golden_cnn_init.cnnb", std::ios::binary);
+        CNN cnn2 = PoseInitializerCNN("/nonexistent.cnnb");
+        cnn2.saveb(ws);  // fresh xavier weights for the python side to load
+    }
+
+    // ---- HandPoseToKeyAngleSet golden using animbank frame 0 ----
+    {
+        std::ifstream ab(anim_path);
+        std::vector<Pose> pose(17);
+        for (auto &p : pose) ab >> p;
+        dump_pose_array("animbank_frame0", pose);
+        auto vals = HandPoseToKeyAngleSet(pose, Pose());
+        dump_floats("key_angles_frame0", vals.data(), vals.size());
+        DCamera hcam(int2(16, 16));
+        auto fp = ImageFeaturePoints(pose, handmodelfeaturepoints, hcam);
+        std::vector<float> fpv;
+        for (auto &p : fp) { fpv.push_back(p.x); fpv.push_back(p.y); }
+        dump_floats("feature_points_frame0", fpv.data(), fpv.size());
+        auto lab = GatherHandExpectedCNN(pose, hcam);
+        dump_floats("cnn_expected_frame0", lab.cnn_expected.data(), lab.cnn_expected.size());
+    }
+
+    g_out << "\n}\n";
+    std::ofstream f(outdir + "/golden.json");
+    f << g_out.str();
+    printf("wrote %s/golden.json\n", outdir.c_str());
+    return 0;
+}
