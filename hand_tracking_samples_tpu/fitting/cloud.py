@@ -1,0 +1,199 @@
+"""Point-cloud <-> articulated-model correspondence and fitting rows.
+
+TPU-native rewrite of the correspondence machinery in include/physmodel.h:
+  * closest()  (physmodel.h:127-162): for every point, the winning plane among
+    [17 bounding-sphere candidate planes, 17 hull most-above planes], chosen
+    exactly like the reference's two sequential scans (first minimum wins).
+    Vectorised as one (N, 34) argmin — the reference's sphere-radius pruning
+    is a pure optimisation that never changes the winner, so it is dropped.
+  * CloudConstraint(s) (physmodel.h:163-181) incl. the directed back-side
+    ray handling via a slab-method ConvexHitCheck.
+  * FitError (handtrack.h:369-399).
+  * containing_plane / cloud_chamber boundary planes (physmodel.h:183-193,
+    486-496), with the sequential extreme-point scan replaced by an angular
+    argmax (equivalent for the camera-frustum geometry it is used on).
+
+Points are fixed-budget arrays with a validity mask.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..maths.pose import pose_apply, pose_inverse, pose_pos, pose_quat, transform_plane
+from ..maths.quat import qconj, qrot, safenormalize
+from ..physics.solver import BodyState, FLT_MAX, LinearRows
+
+
+def closest_planes(state: BodyState, model, points, point_mask):
+    """For each point: (winning body index, winning world plane (4,), value).
+
+    model: HandModelArrays (jnp). points: (N,3). Returns (N,), (N,4), (N,).
+    """
+    B = model.planes.shape[0]
+    pos = state.position                      # (B,3)
+    q = state.orientation                     # (B,4)
+
+    # sphere candidates (physmodel.h:141-150)
+    d = points[:, None, :] - pos[None, :, :]                  # (N,B,3)
+    n = jax.vmap(jax.vmap(safenormalize))(d)
+    w = -jnp.einsum("bk,nbk->nb", pos, n) - model.radius_inner[None, :]
+    sphere_planes = jnp.concatenate([n, w[..., None]], axis=-1)  # (N,B,4)
+    sphere_vals = jnp.einsum("nbk,nk->nb", n, points) + w        # (N,B)
+
+    # hull most-above planes (physmodel.h:127-135)
+    qinv = qconj(q)
+    local = qrot(qinv[None, :, :], points[:, None, :] - pos[None, :, :])  # (N,B,3)
+    # dot(plane, (local,1)) over padded planes (padding has w=-1e9)
+    dots = (jnp.einsum("bpk,nbk->nbp", model.planes[..., :3], local)
+            + model.planes[None, :, :, 3])                    # (N,B,P)
+    pidx = jnp.argmax(dots, axis=-1)                          # (N,B)
+    hull_vals = jnp.take_along_axis(dots, pidx[..., None], axis=-1)[..., 0]
+    best_local = jnp.take_along_axis(
+        model.planes[None], pidx[:, :, None, None].repeat(4, -1), axis=2)[:, :, 0, :]
+    # transform to world (Pose::TransformPlane)
+    wn = qrot(q[None], best_local[..., :3])
+    ww = best_local[..., 3] - jnp.einsum("bk,nbk->nb", pos, wn)
+    hull_planes = jnp.concatenate([wn, ww[..., None]], axis=-1)
+
+    vals = jnp.concatenate([sphere_vals, hull_vals], axis=1)      # (N,2B)
+    planes = jnp.concatenate([sphere_planes, hull_planes], axis=1)
+    # initial pmin has value FLT_MAX with rbmin NULL; candidates tie-break to
+    # the earliest index, matching the reference's strict-< scans.
+    k = jnp.argmin(vals, axis=1)
+    body = jnp.where(k >= B, k - B, k).astype(jnp.int32)
+    plane = jnp.take_along_axis(planes, k[:, None, None].repeat(4, -1), 1)[:, 0]
+    val = jnp.take_along_axis(vals, k[:, None], 1)[:, 0]
+    return body, plane, val
+
+
+def convex_hit_check(planes, plane_mask, p, v0, v1):
+    """geometric.h:275-302 ConvexHitCheck against body pose p (slab method).
+    Returns (hit, impact_world)."""
+    l0 = pose_apply(pose_inverse(p), v0)
+    l1 = pose_apply(pose_inverse(p), v1)
+    d0 = planes[:, :3] @ l0 + planes[:, 3]
+    d1 = planes[:, :3] @ l1 + planes[:, 3]
+    d0 = jnp.where(plane_mask, d0, -1.0)
+    d1 = jnp.where(plane_mask, d1, -1.0)
+    miss = jnp.any((d0 >= 0) & (d1 >= 0))
+    denom = d0 - d1
+    t = jnp.where(denom != 0, d0 / jnp.where(denom == 0, 1.0, denom), 0.0)
+    t_enter = jnp.max(jnp.where((d0 >= 0) & (d1 < 0), t, 0.0))
+    t_exit = jnp.min(jnp.where((d0 <= 0) & (d1 > 0), t, 1.0))
+    hit = ~miss & (t_enter <= t_exit)
+    impact_l = l0 + (l1 - l0) * t_enter
+    return hit, pose_apply(p, impact_l)
+
+
+def cloud_constraint_rows(state: BodyState, model, points, point_mask,
+                          origin=None, directed: bool = True) -> LinearRows:
+    """CloudConstraints (physmodel.h:163-181): one row per point slot.
+    Force limits are the caller's job (they differ per call site)."""
+    if origin is None:
+        origin = jnp.zeros(3, points.dtype)
+    body, plane, val = closest_planes(state, model, points, point_mask)
+    bpose = state.pose[body]                                   # (N,7)
+
+    # default branch: attach at the point projected onto the winning plane
+    attach_w = points - plane[:, :3] * val[:, None]
+    p1_default = pose_apply(pose_inverse(bpose), attach_w)
+    n_default = plane[:, :3]
+
+    if directed:
+        dirn = jax.vmap(lambda v: v / jnp.linalg.norm(v))(points - origin)
+        front = jnp.einsum("nk,nk->n", points - origin, plane[:, :3]) > 0
+        hit, impact = jax.vmap(
+            lambda b, bp, v: convex_hit_check(
+                model.planes[b], model.plane_mask[b], bp, origin, v)
+        )(body, bpose, points)
+        use_ray = front & hit
+        p1 = jnp.where(use_ray[:, None],
+                       pose_apply(pose_inverse(bpose), impact), p1_default)
+        n = jnp.where(use_ray[:, None], dirn, n_default)
+    else:
+        p1, n = p1_default, n_default
+
+    # ConstrainAlongDirection(NULL, v, rb, p1, n, -1, 1) built inline:
+    w1 = pose_apply(bpose, p1)
+    targetdist = jnp.einsum("nk,nk->n", w1 - points, n)
+    r1 = qrot(pose_quat(bpose), p1)
+    N = points.shape[0]
+    return LinearRows(
+        b0=jnp.full(N, -1, jnp.int32), b1=body,
+        normal=n, r0=points, r1=r1,
+        targetdist=targetdist,
+        targetspeednobias=jnp.zeros(N, jnp.float32),
+        fmin=jnp.full(N, -1.0, jnp.float32), fmax=jnp.full(N, 1.0, jnp.float32),
+        friction_master=jnp.zeros(N, jnp.int32),
+        friction_coef=jnp.zeros(N, jnp.float32),
+        active=point_mask)
+
+
+def scale_cloud_forces(rows: LinearRows, per_row_scale) -> LinearRows:
+    """Apply per-row force-limit scaling (the various call sites multiply the
+    +-1 base limits by different factors, e.g. physmodel.h:347)."""
+    return rows._replace(fmin=rows.fmin * per_row_scale,
+                         fmax=rows.fmax * per_row_scale)
+
+
+def fit_error(state: BodyState, model, points, point_mask, depth, depth_cam,
+              bone_sum_error_scale: float = 4.0):
+    """handtrack.h:369-399 FitError."""
+    B = model.planes.shape[0]
+    body, plane, val = closest_planes(state, model, points, point_mask)
+    contrib = jnp.where(point_mask, val, -jnp.inf)
+    pointerror = jnp.zeros(B, val.dtype).at[body].max(contrib)
+    point_error_sum = jnp.maximum(pointerror, 0.0).sum()
+
+    local = pose_apply(pose_inverse(depth_cam.pose), state.position)  # (B,3)
+    px = depth_cam.projectz(local)
+    pi = px.astype(jnp.int32)
+    dim = depth.shape  # (H, W)
+    inside = ((pi[:, 0] >= 0) & (pi[:, 0] <= dim[1] - 1)
+              & (pi[:, 1] >= 0) & (pi[:, 1] <= dim[0] - 1))
+    piq = jnp.clip(pi, 0, jnp.asarray([dim[1] - 1, dim[0] - 1]))
+    dvals = depth[piq[:, 1], piq[:, 0]].astype(jnp.float32) * depth_cam.depth_scale
+    bone_error = jnp.clip(dvals - local[:, 2], 0.0, 0.01)
+    bone_error_sum = jnp.where(inside, bone_error, 0.0).sum()
+    return point_error_sum + bone_error_sum * bone_sum_error_scale
+
+
+def containing_plane(points, point_mask, outdir, origin, viewdir):
+    """physmodel.h:183-193.  The reference's order-dependent scan is an
+    angular extreme search; computed here as an argmax of angle around the
+    tangent axis, which is equivalent for points within a half-space of the
+    initial direction (always true for camera-frustum clouds)."""
+    best0 = viewdir - outdir + origin
+    tangent = jnp.cross(best0, outdir)
+    b0 = best0 - origin
+    th = tangent / jnp.maximum(jnp.linalg.norm(tangent), 1e-20)
+    u = b0 - th * jnp.dot(b0, th)
+    u = u / jnp.maximum(jnp.linalg.norm(u), 1e-20)
+    wv = jnp.cross(th, u)
+    dp = points - origin
+    ang = jnp.arctan2(dp @ wv, dp @ u)
+    ang = jnp.where(point_mask, ang, -jnp.inf)
+    take_pt = jnp.any(point_mask & (ang > 0))
+    best = jnp.where(take_pt, points[jnp.argmax(ang)], best0)
+    n = jnp.cross(tangent, best)
+    n = n / jnp.maximum(jnp.linalg.norm(n), 1e-20)
+    return jnp.concatenate([n, -jnp.dot(n, origin)[None]])
+
+
+def cloud_chamber_rows(state: BodyState, model, points, point_mask, outdirs,
+                       origin, viewdir, maxforce: float, active=True) -> LinearRows:
+    """physmodel.h:486-496: for each outdir, a containing plane and one
+    under-plane row per body. Returns len(outdirs)*B rows."""
+    from ..physics.constraints import constrain_under_plane
+    B = model.planes.shape[0]
+    rows = []
+    for outdir in outdirs:
+        cplane = containing_plane(points, point_mask, jnp.asarray(outdir, jnp.float32),
+                                  origin, viewdir)
+        r = jax.vmap(lambda b: constrain_under_plane(
+            state, b, model.verts[b], model.vert_mask[b], cplane, maxforce,
+            active=active))(jnp.arange(B, dtype=jnp.int32))
+        rows.append(jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), r))
+    from ..physics.solver import concat_linear
+    return concat_linear(*rows)

@@ -1,0 +1,150 @@
+"""Image-pyramid / depth-image operations (include/misc_image.h) as jnp ops.
+
+Images are plain (H, W) arrays (row-major, y-down like the reference raster);
+the camera travels separately as a DCamera.  The Manhattan distance transform
+— a sequential two-pass raster scan in the reference (misc_image.h:183-195) —
+is reformulated as per-row running min-plus scans (cummin of a[k]-k) inside a
+lax.scan over rows, which is exactly equivalent.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .camera import DCamera
+
+
+def downsample_min(img):
+    h, w = img.shape
+    x = img.reshape(h // 2, 2, w // 2, 2)
+    return x.min(axis=(1, 3))
+
+
+def downsample_max(img):
+    h, w = img.shape
+    return img.reshape(h // 2, 2, w // 2, 2).max(axis=(1, 3))
+
+
+def downsample_avg(img):
+    """DownSampleAvg (misc_image.h:91): pairwise (a+b)/2 in the source dtype,
+    i.e. integer division for integer rasters, applied as f(f(a,b),f(c,d))."""
+    h, w = img.shape
+    x = img.reshape(h // 2, 2, w // 2, 2)
+    ab = (x[:, 0, :, 0] + x[:, 0, :, 1]) // 2 if jnp.issubdtype(img.dtype, jnp.integer) \
+        else (x[:, 0, :, 0] + x[:, 0, :, 1]) / 2
+    cd = (x[:, 1, :, 0] + x[:, 1, :, 1]) // 2 if jnp.issubdtype(img.dtype, jnp.integer) \
+        else (x[:, 1, :, 0] + x[:, 1, :, 1]) / 2
+    return (ab + cd) // 2 if jnp.issubdtype(img.dtype, jnp.integer) else (ab + cd) / 2
+
+
+def downsample_fst(img):
+    return img[::2, ::2]
+
+
+def upsample(img):
+    return jnp.repeat(jnp.repeat(img, 2, axis=0), 2, axis=1)
+
+
+def _minplus_row(row):
+    """r[x] = min_k<=x (row[k] + (x-k)) via cummin(row[k]-k) + x."""
+    n = row.shape[-1]
+    idx = jnp.arange(n, dtype=row.dtype)
+    m = jax.lax.associative_scan(jnp.minimum, row - idx, axis=-1)
+    return m + idx
+
+
+def _minplus_row_rev(row):
+    n = row.shape[-1]
+    idx = jnp.arange(n, dtype=row.dtype)
+    m = jax.lax.associative_scan(jnp.minimum, row[..., ::-1] - idx, axis=-1)[..., ::-1]
+    return m + idx[::-1] - (n - 1) + jnp.arange(n, dtype=row.dtype) * 0  # m[x] + (x-rev)
+    # NOTE: replaced below by clearer formulation
+
+
+def distance_transform(binary255):
+    """misc_image.h:183-195: Manhattan distance transform of a 0/255 mask,
+    clamped to 255.  Forward raster pass then backward raster pass."""
+    img = binary255.astype(jnp.int32)
+
+    def fwd_step(prev_row, row):
+        row = jnp.minimum(row, prev_row + 1)
+        row = _minplus_row(row)
+        return row, row
+
+    h, w = img.shape
+    init = jnp.full((w,), 255, jnp.int32)
+    # first pass: pixel = min(left+1, up+1, self); row-sequential
+    _, out = jax.lax.scan(fwd_step, init + 254, img)  # big init so row0 unaffected
+    out = jnp.minimum(out, 255)
+
+    def bwd_step(prev_row, row):
+        row = jnp.minimum(row, prev_row + 1)
+        n = row.shape[-1]
+        idx = jnp.arange(n, dtype=row.dtype)
+        m = jax.lax.associative_scan(jnp.minimum, (row - idx)[::-1], axis=-1)[::-1]
+        row = jnp.minimum(row, m + idx)
+        return row, row
+
+    _, out2 = jax.lax.scan(bwd_step, init + 254, out[::-1])
+    return jnp.minimum(out2[::-1], 255).astype(jnp.uint8)
+
+
+def threshold(depth, lo=None, hi=None):
+    """Threshold (misc_image.h:179): predicate -> 0/255 mask."""
+    m = jnp.ones_like(depth, bool)
+    if lo is not None:
+        m &= depth >= lo
+    if hi is not None:
+        m &= depth < hi
+    return jnp.where(m, jnp.uint8(255), jnp.uint8(0))
+
+
+def sample_d(src, src_cam: DCamera, dst_cam: DCamera, background):
+    """SampleD (misc_image.h:154-162): point-resample a depth image under a
+    new camera, correcting sampled depth to the destination image plane."""
+    W, H = dst_cam.dim
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    p = jnp.stack([xs, ys], axis=-1)                      # (H,W,2)
+    from ..maths.pose import pose_apply
+    rays = dst_cam.deprojectz(p, jnp.ones((H, W), jnp.float32))
+    world = pose_apply(dst_cam.pose, rays)
+    pp = src_cam.projectz(world)
+    ppi = pp.astype(jnp.int32)                            # C-cast truncation
+    sw, sh = src_cam.dim
+    inside = ((ppi[..., 0] >= 0) & (ppi[..., 0] <= sw - 1)
+              & (ppi[..., 1] >= 0) & (ppi[..., 1] <= sh - 1))
+    ppc = jnp.clip(ppi, 0, jnp.asarray([sw - 1, sh - 1]))
+    sampled = src[ppc[..., 1], ppc[..., 0]]
+    ppdir = pose_apply(dst_cam.pose, dst_cam.deprojectz(dst_cam.principal,
+                                                        jnp.float32(1.0)))
+    deproj = src_cam.deprojectz(ppi.astype(jnp.float32),
+                                sampled.astype(jnp.float32))
+    corrected = jnp.sum(ppdir * deproj, axis=-1)
+    out = jnp.where(inside, corrected.astype(src.dtype),
+                    jnp.asarray(background, src.dtype))
+    return out
+
+
+def point_cloud(depth, cam: DCamera, range_lo, range_hi, stride: int = 1):
+    """PointCloud (misc_image.h:409-417) with a validity mask instead of a
+    dynamic list. Optional pixel stride implements takesubsample's every-Nth
+    selection in a shape-static way. Returns points (N,3), mask (N,)."""
+    d = depth[::stride, ::stride].astype(jnp.float32) * cam.depth_scale
+    h, w = d.shape
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32) * stride,
+                          jnp.arange(w, dtype=jnp.float32) * stride,
+                          indexing="ij")
+    pts = cam.deprojectz(jnp.stack([xs, ys], -1), d)
+    mask = (d >= range_lo) & (d < range_hi)
+    return pts.reshape(-1, 3), mask.reshape(-1)
+
+
+def compact_points(points, mask, budget: int):
+    """Pack the valid points to the front, fixed budget. Points beyond the
+    budget are dropped (the reference keeps all; the budget is the TPU
+    static-shape tradeoff — size it generously)."""
+    order = jnp.argsort(~mask, stable=True)  # valid first, original order
+    pts = points[order[:budget]]
+    msk = mask[order[:budget]]
+    return pts, msk

@@ -1,0 +1,151 @@
+"""Articulated hand model runtime ops: joint rows, pose conversion, fitting.
+
+The dynamic counterpart of model/bake.py — everything here is jit/vmap-safe
+and consumes the baked HandModelArrays.  Mirrors PhysModel's runtime surface
+(include/physmodel.h:321-442): GetAngularConstraints / GetLinearConstraints /
+FitPointCloud / GetPose(User) / SetPose / Reset / FixPositions.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..fitting.cloud import cloud_constraint_rows, scale_cloud_forces
+from ..maths.pose import pose_apply, pose_pos, pose_quat
+from ..maths.quat import qrot
+from ..physics.constraints import (constrain_angular_range,
+                                   constrain_position_nailed)
+from ..physics.solver import (AngularRows, BodyParams, BodyState, LinearRows,
+                              PhysicsParams, concat_angular, concat_linear,
+                              physics_update, sanity_check)
+
+PHYSICS_WEAK_FORCE = 0.4  # physmodel.h:234
+
+
+def body_params(model) -> BodyParams:
+    return BodyParams(
+        massinv=model.massinv,
+        tensorinv_massless=model.tensorinv_massless,
+        damping=model.damping,
+        gravscale=model.gravscale,
+        start_pose=model.start_pose,
+    )
+
+
+def initial_state(model) -> BodyState:
+    B = model.start_pose.shape[0]
+    return BodyState(
+        pose=jnp.asarray(model.start_pose),
+        linear_momentum=jnp.zeros((B, 3), jnp.float32),
+        angular_momentum=jnp.zeros((B, 3), jnp.float32),
+    )
+
+
+def joint_linear_rows(state: BodyState, model) -> LinearRows:
+    """GetLinearConstraints (physmodel.h:328-334): 3 nailed rows per joint,
+    in joint order. 16 joints -> 48 rows."""
+    def per_joint(b0, b1, p0, p1):
+        return constrain_position_nailed(state, b0, b1=b1, p0=p0, p1=p1)
+
+    rows = jax.vmap(per_joint)(model.joint_rbi0, model.joint_rbi1,
+                               model.joint_p0, model.joint_p1)
+    return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rows)
+
+
+def joint_angular_rows(state: BodyState, model, params: PhysicsParams,
+                       rangemin=None, rangemax=None) -> AngularRows:
+    """GetAngularConstraints (physmodel.h:321-327): 6 masked slots per joint.
+    rangemin/rangemax override the baked ranges (HandModelEnhancements mutates
+    them per frame, handtrack.h:417-440)."""
+    rmin = model.joint_rangemin if rangemin is None else rangemin
+    rmax = model.joint_rangemax if rangemax is None else rangemax
+
+    def per_joint(b0, b1, jf, lo, hi):
+        return constrain_angular_range(state, b0, b1, jf, lo, hi, params)
+
+    rows = jax.vmap(per_joint)(model.joint_rbi0, model.joint_rbi1,
+                               model.joint_frame, rmin, rmax)
+    return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rows)
+
+
+def fit_point_cloud(state: BodyState, model, params: PhysicsParams,
+                    points, point_mask, linears: LinearRows | None = None,
+                    angulars: AngularRows | None = None,
+                    microforce: float = 1.0, origin=None,
+                    rangemin=None, rangemax=None,
+                    iterations: int = 16, iterations_post: int = 4,
+                    contacts_fn=None) -> BodyState:
+    """FitPointCloud (physmodel.h:345-356).
+
+    Row order matches the reference: [caller linears][cloud rows][joint
+    nailed rows][contact rows]; angulars: [caller angulars][joint ranges].
+    """
+    cloud = cloud_constraint_rows(state, model, points, point_mask,
+                                  origin=origin)
+    # weak force on wrist/palm/thumb-base bodies (physmodel.h:347)
+    weak = (cloud.b1 <= 2).astype(jnp.float32)
+    scale = (weak * PHYSICS_WEAK_FORCE + (1.0 - weak)) * microforce
+    cloud = scale_cloud_forces(cloud, scale)
+
+    lin_blocks = [cloud, joint_linear_rows(state, model)]
+    if linears is not None:
+        lin_blocks.insert(0, linears)
+    lin = concat_linear(*lin_blocks)
+
+    ang_blocks = [joint_angular_rows(state, model, params, rangemin, rangemax)]
+    if angulars is not None:
+        ang_blocks.insert(0, angulars)
+    ang = concat_angular(*ang_blocks)
+
+    if contacts_fn is not None:
+        lin = concat_linear(lin, contacts_fn(state))
+
+    bp = body_params(model)
+    new = physics_update(state, bp, lin, ang, params,
+                         iterations=iterations, iterations_post=iterations_post)
+    return sanity_check(new, bp)
+
+
+# ---------------------------------------------------------------------------
+# pose conversions (physmodel.h:433-436)
+# ---------------------------------------------------------------------------
+
+def get_pose_user(state: BodyState, model):
+    """Rig-space poses: position - qrot(q, com) (physics.h:142-143)."""
+    pos = state.position - qrot(state.orientation, model.com)
+    return jnp.concatenate([pos, state.orientation], axis=-1)
+
+
+def set_pose_user(state: BodyState, model, poses_user):
+    pos = poses_user[..., :3] + qrot(poses_user[..., 3:7], model.com)
+    return state._replace(pose=jnp.concatenate([pos, poses_user[..., 3:7]], -1))
+
+
+def set_pose(state: BodyState, poses):
+    return state._replace(pose=poses)
+
+
+def reset_state(model) -> BodyState:
+    return initial_state(model)
+
+
+def fix_positions(state: BodyState, model) -> BodyState:
+    """physmodel.h:404-408 FixPositions: top-down snap of joint attachment
+    points. Joints are ordered parent-before-child in the hand model, so a
+    sequential scan over the 16 joints reproduces the ordered update."""
+    def step(pose, j):
+        b0, b1, p0, p1 = j
+        user0 = pose[b0, :3] - qrot(pose[b0, 3:7], model.com[b0])
+        user1 = pose[b1, :3] - qrot(pose[b1, 3:7], model.com[b1])
+        w0 = user0 + qrot(pose[b0, 3:7], p0)
+        w1 = user1 + qrot(pose[b1, 3:7], p1)
+        pose = pose.at[b1, :3].add(w0 - w1)
+        return pose, None
+
+    # note FixPositions uses joint.p0/p1 in *rig* coordinates (pre-COM)
+    p0_rig = model.joint_p0 + model.com[model.joint_rbi0]
+    p1_rig = model.joint_p1 + model.com[model.joint_rbi1]
+    pose, _ = jax.lax.scan(
+        step, state.pose,
+        (model.joint_rbi0, model.joint_rbi1, p0_rig, p1_rig))
+    return state._replace(pose=pose)

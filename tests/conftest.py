@@ -1,0 +1,42 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The real chip (axon tunnel) is only for bench.py; per-op dispatch over the
+tunnel is far too slow for unit tests, and sharding tests need 8 devices.
+"""
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+MODEL_JSON = "/root/reference/assets/model_hand.json"
+
+
+@pytest.fixture(scope="session")
+def golden():
+    import json
+    with open(os.path.join(FIXTURES, "golden.json")) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="session")
+def hand_model():
+    import jax.numpy as jnp
+    from hand_tracking_samples_tpu.model.bake import load_hand_model
+    m = load_hand_model(MODEL_JSON, cache_dir=os.path.join(FIXTURES, "cache"))
+    return jax.tree_util.tree_map(jnp.asarray, m)
+
+
+def quat_err(a, b):
+    """Sign-invariant max quaternion component error."""
+    a, b = np.asarray(a), np.asarray(b)
+    sign = np.sign((a * b).sum(-1, keepdims=True))
+    return np.abs(a - b * sign).max()

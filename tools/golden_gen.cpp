@@ -5,7 +5,9 @@
 // the Python test suite asserts against.  This file is test tooling only; no
 // reference code is copied into the new framework.
 //
-// Build:  g++ -std=c++14 -O2 -I/root/reference -o golden_gen golden_gen.cpp
+// Build:  g++ -std=c++14 -O2 -fno-strict-aliasing -I/root/reference -o golden_gen golden_gen.cpp
+//         (-fno-strict-aliasing is required: linalg.h swizzles use
+//          reinterpret_cast, which is UB under g++ strict aliasing)
 // Run:    ./golden_gen <model_hand.json> <animbank.pose> <outdir>
 
 #include <cstdio>
@@ -79,6 +81,22 @@ static std::vector<float3> synth_points(PhysModel &m, int n, unsigned seed) {
         // point on/near the hull surface along d plus small noise
         float3 local = d * (rb.radius_inner + 0.004f * (u(rng) + 1.f));
         pts.push_back(rb.pose() * local);
+    }
+    return pts;
+}
+
+// Surface points: support vertex of a random direction, slightly offset out.
+static std::vector<float3> surface_points(PhysModel &m, int n, unsigned seed) {
+    std::mt19937 rng(seed);
+    std::uniform_real_distribution<float> u(-1.f, 1.f);
+    std::vector<float3> pts;
+    while ((int)pts.size() < n) {
+        int b = rng() % m.rigidbodies.size();
+        if (b == 10 || b == 12) continue;  // hulls differ by tie-breaks there
+        auto &rb = m.rigidbodies[b];
+        float3 d = normalize(float3(u(rng), u(rng), u(rng)));
+        float3 v = maxdir_value(rb.shapes[0].verts, d);
+        pts.push_back(rb.pose() * (v + d * 0.002f));
     }
     return pts;
 }
@@ -188,14 +206,47 @@ int main(int argc, char **argv) {
         physics_gravity = {0, 0, 0};
         physics_driftmax = 0.03f / 8.0f;
         physics_use_collision = 0;
-        auto pts = synth_points(m, 128, 42);
+        auto pts = surface_points(m, 128, 42);
         dump_float3s("solve2_points", pts);
         // shift the model so the fit has work to do
         for (auto &rb : m.rigidbodies) rb.position += float3(0.004f, -0.006f, 0.008f);
         dump_pose_array("solve2_pose_in", m.GetPose());
-        for (int it = 0; it < 4; it++)
+        {   // dump the cloud rows of the first call for row-level parity
+            auto rbs = Addresses(m.rigidbodies);
+            auto rows = CloudConstraints(rbs, pts);
+            std::vector<float> rr;
+            for (auto &c : rows) {
+                rr.push_back((float)IndexOf(rbs, c.rb1));
+                rr.insert(rr.end(), {c.normal.x, c.normal.y, c.normal.z});
+                rr.insert(rr.end(), {c.position1.x, c.position1.y, c.position1.z});
+                rr.push_back(c.targetdist);
+            }
+            dump_floats("solve2_cloud_rows", rr.data(), rr.size());
+            // branch diagnostics per point: winning val, front, hit
+            std::vector<float> diag;
+            for (auto &v : pts) {
+                RigidBody *rb; float4 p;
+                std::tie(rb, p) = closest(rbs, v);
+                float front = dot(v, p.xyz());
+                auto h = ConvexHitCheck(rb->shapes[0].planes, rb->pose(), {0, 0, 0}, v);
+                diag.push_back(dot(p, float4(v, 1)));
+                diag.push_back(front);
+                diag.push_back(h.hit ? 1.0f : 0.0f);
+            }
+            dump_floats("solve2_cloud_diag", diag.data(), diag.size());
+        }
+        for (int it = 0; it < 4; it++) {
             m.FitPointCloud(pts);
-        dump_pose_array("solve2_pose_out", m.GetPose());
+            char k[32];
+            snprintf(k, sizeof(k), "solve2_pose_it%d", it);
+            dump_pose_array(k, m.GetPose());
+        }
+        // also dump momenta after the final iteration
+        std::vector<float> mom;
+        for (auto &rb : m.rigidbodies)
+            mom.insert(mom.end(), {rb.linear_momentum.x, rb.linear_momentum.y, rb.linear_momentum.z,
+                                   rb.angular_momentum.x, rb.angular_momentum.y, rb.angular_momentum.z});
+        dump_floats("solve2_momenta", mom.data(), mom.size());
     }
 
     // ---- closest()/CloudConstraint correspondence golden ----
