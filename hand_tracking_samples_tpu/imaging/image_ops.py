@@ -54,11 +54,12 @@ def _minplus_row(row):
 
 
 def _minplus_row_rev(row):
+    """r[x] = min_{k>=x} (row[k] + (k-x)) = suffix_cummin(row[k]+k) - x."""
     n = row.shape[-1]
     idx = jnp.arange(n, dtype=row.dtype)
-    m = jax.lax.associative_scan(jnp.minimum, row[..., ::-1] - idx, axis=-1)[..., ::-1]
-    return m + idx[::-1] - (n - 1) + jnp.arange(n, dtype=row.dtype) * 0  # m[x] + (x-rev)
-    # NOTE: replaced below by clearer formulation
+    b = row + idx
+    sfx = jax.lax.associative_scan(jnp.minimum, b[..., ::-1], axis=-1)[..., ::-1]
+    return sfx - idx
 
 
 def distance_transform(binary255):
@@ -79,10 +80,7 @@ def distance_transform(binary255):
 
     def bwd_step(prev_row, row):
         row = jnp.minimum(row, prev_row + 1)
-        n = row.shape[-1]
-        idx = jnp.arange(n, dtype=row.dtype)
-        m = jax.lax.associative_scan(jnp.minimum, (row - idx)[::-1], axis=-1)[::-1]
-        row = jnp.minimum(row, m + idx)
+        row = _minplus_row_rev(row)
         return row, row
 
     _, out2 = jax.lax.scan(bwd_step, init + 254, out[::-1])
