@@ -80,14 +80,14 @@ def fit_point_cloud(state: BodyState, model, params: PhysicsParams,
     Row order matches the reference: [caller linears][cloud rows][joint
     nailed rows][contact rows]; angulars: [caller angulars][joint ranges].
     """
-    cloud = cloud_constraint_rows(state, model, points, point_mask,
-                                  origin=origin)
-    # weak force on wrist/palm/thumb-base bodies (physmodel.h:347)
-    weak = (cloud.b1 <= 2).astype(jnp.float32)
-    scale = (weak * PHYSICS_WEAK_FORCE + (1.0 - weak)) * microforce
-    cloud = scale_cloud_forces(cloud, scale)
-
-    lin_blocks = [cloud, joint_linear_rows(state, model)]
+    lin_blocks = [joint_linear_rows(state, model)]
+    if points.shape[0] > 0:
+        cloud = cloud_constraint_rows(state, model, points, point_mask,
+                                      origin=origin)
+        # weak force on wrist/palm/thumb-base bodies (physmodel.h:347)
+        weak = (cloud.b1 <= 2).astype(jnp.float32)
+        scale = (weak * PHYSICS_WEAK_FORCE + (1.0 - weak)) * microforce
+        lin_blocks.insert(0, scale_cloud_forces(cloud, scale))
     if linears is not None:
         lin_blocks.insert(0, linears)
     lin = concat_linear(*lin_blocks)

@@ -217,6 +217,9 @@ def physics_update(state: BodyState, bodies: BodyParams,
 
     targetspeed0 = linears.targetdist / dt  # physics.h:553-554
 
+    n_lin = linears.b0.shape[0]
+    n_ang = angulars.b0.shape[0]
+
     def sweep(carry, targetspeed, targetspin):
         lin, ang, isum, torq = carry
 
@@ -255,7 +258,8 @@ def physics_update(state: BodyState, bodies: BodyParams,
             isum = isum.at[ridx].add(impulse)
             return (lin, ang, isum), None
 
-        (lin, ang, isum), _ = jax.lax.scan(lin_step, (lin, ang, isum), lin_xs)
+        if n_lin:
+            (lin, ang, isum), _ = jax.lax.scan(lin_step, (lin, ang, isum), lin_xs)
 
         # --- angular rows in order (physics.h:560-561) ---
         ang_xs = (angulars.b0, angulars.b1, angulars.axis, *ac, targetspin,
@@ -279,7 +283,8 @@ def physics_update(state: BodyState, bodies: BodyParams,
             torq = torq.at[ridx].add(dtorque)
             return (ang, torq), None
 
-        (ang, torq), _ = jax.lax.scan(ang_step, (ang, torq), ang_xs)
+        if n_ang:
+            (ang, torq), _ = jax.lax.scan(ang_step, (ang, torq), ang_xs)
         return (lin, ang, isum, torq)
 
     isum = jnp.zeros_like(linears.targetdist)

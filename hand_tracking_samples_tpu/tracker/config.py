@@ -1,0 +1,57 @@
+"""HandTracker configuration (the ~30 tunables of handtrack.h:523-581).
+
+Field names match the reference's visit_fields serialization so the same
+JSON config files work.  Structural knobs (step counts, iteration counts,
+booleans selecting which constraint blocks exist) are Python values baked at
+trace time; force/threshold scalars ride through jit as they are Python
+floats consumed by jnp ops.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    segment_scale: float = 0.17
+    full_reset_on_error: float = 0.6
+    angles_only: bool = False
+    always_take_cnn: bool = False
+    drangey: float = 0.7
+    boundary_planes: int = 1
+    microforce: float = 1.0
+    cloudforce_max_point: float = 15.0
+    cloudforce_max_sum: float = 3000.0
+    mainthreadpasses: int = 1
+    subsample_fraction: int = 4
+    subsample_voxel: int = 0
+    subsample_size: float = 0.0
+    min_point_num: int = 400
+    accum_error_threshold: float = 0.0
+    min_cray_prob: float = 0.0
+    steps: int = 5
+    steps_keypoints: int = 3
+    steps_keyangles: int = 2
+    steps_palmangle: int = 2
+    steps_cloudstart: int = 1
+    steps_unibody: int = 3
+    physics_iterations: int = 16
+    physics_iterations_post: int = 4
+    physics_use_collision: int = 1
+    physics_weak_force: float = 0.4
+    bone_sum_error_scale: float = 4.0
+    unibody_force: float = 0.1
+
+    # --- TPU-framework additions (not in the reference) ---
+    point_budget: int = 1024        # static cloud-point slots per frame
+    multistep_point_budget: int = 256  # after the extra /4 subsample
+    cnn_every_frame: bool = True    # reference: background thread, less often
+
+    def load_json(self, path: str) -> "TrackerConfig":
+        """HandTracker::load_config (handtrack.h:822-828)."""
+        with open(path) as f:
+            js = json.load(f)
+        known = {f.name for f in dataclasses.fields(self)}
+        return dataclasses.replace(self, **{k: v for k, v in js.items()
+                                            if k in known})

@@ -1,0 +1,461 @@
+"""HandTracker runtime: the system API (include/handtrack.h:509-846).
+
+One pure function per reference entry point, all jit/vmap/scan-safe:
+
+  * update()            — per-frame tracking step (handtrack.h:748-785)
+  * update_cnn_model()  — segmentation + CNN + heavy refit (handtrack.h:693)
+  * kickstart()         — synchronous CNN re-init (handtrack.h:743)
+  * slowfit()           — annotation-grade stable fit (handtrack.h:786-821)
+  * multi_step_sim()    — staged constraint schedule (handtrack.h:642-690)
+  * hand_model_enhancements, pose_from_scratch, unibody_fit, apply_angles
+
+Design deltas from the reference, both explicit in TrackerConfig:
+  * The reference runs the CNN in a background thread at whatever rate the
+    CPU manages, double-buffering the model (handtrack.h:45-48, 515-521).
+    On TPU the CNN is ~free, so by default it runs synchronously every frame
+    (cnn_every_frame); the two-model copy becomes a functional fork.
+  * Dynamic point counts become a fixed budget with a validity mask.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..cnn.labels import CNNAnalysis, analyze_cnn_output
+from ..cnn.model import forward as cnn_forward
+from ..fitting.cloud import (cloud_chamber_rows, cloud_constraint_rows,
+                             fit_error, scale_cloud_forces)
+from ..imaging.camera import DCamera
+from ..imaging.image_ops import compact_points, point_cloud
+from ..maths.pose import (pose_apply, pose_inverse, pose_mul, pose_quat)
+from ..maths.quat import qconj, qmul, qrot, quat_from_axis_angle, quat_from_to, qxdir, qydir, qzdir
+from ..model.bake import FEATURE_BONES, FEATURE_OFFSETS
+from ..model.hand import (body_params, fit_point_cloud, fix_positions,
+                          get_pose_user, initial_state)
+from ..physics.constraints import (constrain_along_direction_deadzone,
+                                   constrain_angular_drive,
+                                   constrain_cone_angle, relative_angular_rows)
+from ..physics.contacts import contact_rows
+from ..physics.solver import (AngularRows, BodyParams, BodyState, LinearRows,
+                              PhysicsParams, concat_angular, concat_linear,
+                              physics_update, sanity_check)
+from ..segment.handsegment import cnn_input_from_segment, hand_segment_vr
+from .config import TrackerConfig
+
+DEG2RAD = 3.14159 / 180.0
+
+
+class TrackerState(NamedTuple):
+    body: BodyState
+    prev_frame_error: jnp.ndarray   # f32 scalar
+    initializing: jnp.ndarray       # i32 scalar
+
+
+class CnnDebug(NamedTuple):
+    """Last CNN inputs/outputs, for visualization parity with
+    get_last_segment / get_cnn_difference (handtrack.h:618-640)."""
+    cnn_input: jnp.ndarray     # (64, 64) float
+    cnn_output: jnp.ndarray    # (2304,)
+    image_points: jnp.ndarray  # (8, 2)
+    segment_cam_pose: jnp.ndarray
+
+
+def make_tracker_state(model) -> TrackerState:
+    return TrackerState(body=initial_state(model),
+                        prev_frame_error=jnp.float32(0.0),
+                        initializing=jnp.int32(0))
+
+
+def physics_params(config: TrackerConfig) -> PhysicsParams:
+    """Physics globals as the HandTracker ctor sets them (handtrack.h:837-838)."""
+    return PhysicsParams(gravity=jnp.zeros(3, jnp.float32),
+                         driftmax=jnp.float32(0.03 / 8.0))
+
+
+# ---------------------------------------------------------------------------
+# HandModelEnhancements (handtrack.h:402-441)
+# ---------------------------------------------------------------------------
+
+def hand_model_enhancements(body: BodyState, model, params,
+                            armdir=None, tiepinkyringmid: bool = False,
+                            fingerhold: int = 0):
+    """Returns (angular rows, rangemin, rangemax) with the per-frame joint
+    range mutations applied.  armdir=None means the zero vector (no cone)."""
+    q = body.orientation
+    rmin = jnp.asarray(model.joint_rangemin)
+    rmax = jnp.asarray(model.joint_rangemax)
+
+    # distal joints: x-range pinned to half the upper knuckle angle
+    for b in (7, 10, 13, 16):
+        ang = jnp.arccos(jnp.clip(jnp.sum(qzdir(q[b - 2]) * qzdir(q[b - 1])),
+                                  0.0, 1.0)) * 180.0 / 3.14159 / 2.0
+        rmin = rmin.at[b - 1, 0].set(ang)
+        rmax = rmax.at[b - 1, 0].set(ang)
+
+    rows = []
+    if tiepinkyringmid:
+        for b in (15, 14, 12, 11):
+            rows.append(constrain_cone_angle(
+                body, jnp.int32(b), jnp.asarray([0.0, 1, 0]),
+                jnp.int32(b - 3), jnp.asarray([0.0, 1, 0]), 10.0, params))
+    if armdir is not None:
+        rows.append(constrain_cone_angle(
+            body, jnp.int32(-1), armdir, jnp.int32(0),
+            jnp.asarray([0.0, 0, 1]), 70.0, params))
+    if fingerhold & 1:
+        rows.append(constrain_cone_angle(
+            body, jnp.int32(1), jnp.asarray([-1.0, 0, 0]), jnp.int32(4),
+            jnp.asarray([0.0, 0, 1]), 10.0, params))
+    for finger in (1, 2, 3, 4):
+        if fingerhold & (1 << finger):
+            rows.append(constrain_cone_angle(
+                body, jnp.int32(1), jnp.asarray([0.0, 0, -1]),
+                jnp.int32(3 + finger * 3), jnp.asarray([0.0, 0, 1]), 10.0,
+                params))
+
+    # abduction gating on curl (handtrack.h:434-440)
+    knuckle = {14: (-30.0, 10.0), 11: (-10.0, 10.0), 8: (-10.0, 10.0),
+               5: (-10.0, 20.0)}
+    cos40 = jnp.cos(40.0 * 3.14 / 180.0)
+    for bone, (lo, hi) in knuckle.items():
+        up = jnp.sum(qydir(q[1]) * qydir(q[bone])) > cos40
+        rmin = rmin.at[bone - 1, 1].set(jnp.where(up, lo, -0.0))
+        rmax = rmax.at[bone - 1, 1].set(jnp.where(up, hi, 0.0))
+
+    ang = concat_angular(*rows) if rows else AngularRows.empty(0)
+    return ang, rmin, rmax
+
+
+# ---------------------------------------------------------------------------
+# CNNOutputAnalysis::ApplyAngles (handtrack.h:203-216)
+# ---------------------------------------------------------------------------
+
+def apply_angles(body: BodyState, model, analysis: CNNAnalysis, camera_pose,
+                 params, drive_force, coneangle: float = 10.0) -> AngularRows:
+    rows = [constrain_angular_drive(
+        body, jnp.int32(-1), jnp.int32(1),
+        qmul(pose_quat(camera_pose), analysis.palmq), drive_force, params)]
+    a0 = analysis.finger_clenched[0]
+    rows.append(constrain_cone_angle(
+        body, jnp.int32(1), jnp.stack([jnp.cos(a0), jnp.float32(0.0), jnp.sin(a0)]),
+        jnp.int32(4), jnp.asarray([0.0, 0, 1]), coneangle, params))
+    for finger in (1, 2, 3, 4):
+        a = analysis.finger_clenched[finger]
+        rows.append(constrain_cone_angle(
+            body, jnp.int32(1),
+            jnp.stack([jnp.float32(0.0), -jnp.sin(a), jnp.cos(a)]),
+            jnp.int32(3 + finger * 3), jnp.asarray([0.0, 0, 1]), coneangle,
+            params))
+        jf = jnp.asarray(model.joint_frame[1 + finger * 3])
+        n0 = qrot(jf, qrot(jf, jnp.stack([jnp.float32(0.0),
+                                          -jnp.sin(a / 2.0), jnp.cos(a / 2.0)])))
+        rows.append(constrain_cone_angle(
+            body, jnp.int32(1), n0, jnp.int32(2 + finger * 3),
+            jnp.asarray([0.0, 0, 1]), coneangle, params))
+    return concat_angular(*rows)
+
+
+# ---------------------------------------------------------------------------
+# PoseFromScratch (handtrack.h:473-506)
+# ---------------------------------------------------------------------------
+
+def pose_from_scratch(body: BodyState, model, analysis: CNNAnalysis,
+                      points, point_mask, camera_pose) -> BodyState:
+    crays = analysis.crays
+    palmray = crays[0, :3] + crays[1, :3] + crays[2, :3]
+    palmray = palmray / jnp.maximum(jnp.linalg.norm(palmray), 1e-20)
+    c = jnp.cross(points, palmray[None, :])
+    w = 1.0 / (1e-6 + jnp.sum(c * c, axis=-1))
+    w = jnp.where(point_mask, w, 0.0)
+    wsum = 1e-11 + w.sum()
+    pcom = (points * w[:, None]).sum(0) / wsum
+
+    st = jnp.asarray(model.start_pose)
+    pose = st
+    p1 = jnp.concatenate([pcom, qmul(pose_quat(camera_pose), analysis.palmq)])
+    dp = pose_mul(p1, pose_inverse(pose[1]))
+    pose = jax.vmap(lambda p: pose_mul(dp, p))(pose)
+
+    for finger in (1, 2, 3, 4):
+        a = analysis.finger_clenched[finger]
+        jf = jnp.asarray(model.joint_frame[1 + finger * 3])
+        for k, mult in ((2, 0.5), (3, 1.0), (4, 1.25)):
+            b = k + finger * 3
+            newq = qmul(jf, qmul(pose[b, 3:7], quat_from_axis_angle(
+                jnp.asarray([1.0, 0, 0]), a * mult)))
+            pose = pose.at[b, 3:7].set(newq)
+
+    out = BodyState(pose=pose,
+                    linear_momentum=jnp.zeros_like(body.linear_momentum),
+                    angular_momentum=jnp.zeros_like(body.angular_momentum))
+    return fix_positions(out, model)
+
+
+# ---------------------------------------------------------------------------
+# UnibodyFit (handtrack.h:444-470)
+# ---------------------------------------------------------------------------
+
+_UNIBODY_HALF = 0.1
+# solid cube of side 0.2, unit mass: I = diag(s^2/6) with s=0.2
+_UNIBODY_TINV = jnp.eye(3) * (6.0 / (0.2 * 0.2))
+
+
+def unibody_fit(body: BodyState, model, params, points, point_mask,
+                camera_position, unibody_force: float = 0.1,
+                iterations: int = 16, iterations_post: int = 4) -> BodyState:
+    # takesubsample(pts) inside UnibodyFit (handtrack.h:453): stride-4 mask
+    idx = jnp.arange(points.shape[0])
+    vsub = point_mask & ((jnp.cumsum(point_mask) - 1) % 4 == 0)
+    rows = cloud_constraint_rows(body, model, points, vsub,
+                                 origin=camera_position)
+    uni_pose = jnp.concatenate([body.pose[1, :3], body.pose[1, 3:7]])
+    # retarget rows to the unibody (handtrack.h:457-461)
+    bpose = body.pose[rows.b1]
+    p1_world = pose_apply(bpose, qrot(qconj(pose_quat(bpose)), rows.r1))
+    r1_new = p1_world - uni_pose[:3]
+    rows = rows._replace(
+        b0=jnp.full_like(rows.b0, -1), b1=jnp.zeros_like(rows.b1),
+        r1=r1_new,
+        fmin=rows.fmin * unibody_force, fmax=rows.fmax * unibody_force)
+
+    ustate = BodyState(pose=uni_pose[None], linear_momentum=jnp.zeros((1, 3)),
+                       angular_momentum=jnp.zeros((1, 3)))
+    ubody = BodyParams(
+        massinv=jnp.ones(1), tensorinv_massless=_UNIBODY_TINV[None],
+        damping=jnp.zeros(1), gravscale=jnp.ones(1),
+        start_pose=uni_pose[None])
+    out = physics_update(ustate, ubody, rows, AngularRows.empty(0), params,
+                         iterations=iterations, iterations_post=iterations_post)
+    dp = pose_mul(out.pose[0], pose_inverse(body.pose[1]))
+    pose = jax.vmap(lambda p: pose_mul(dp, p))(body.pose)
+    return sanity_check(body._replace(pose=pose), body_params(model))
+
+
+# ---------------------------------------------------------------------------
+# MultiStepSim (handtrack.h:642-690)
+# ---------------------------------------------------------------------------
+
+def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
+                   points, point_mask, camera_pose, config: TrackerConfig,
+                   params) -> BodyState:
+    bp = body_params(model)
+    body = sanity_check(body, bp)
+    npts = jnp.maximum(point_mask.sum(), 1)
+    cloudforce = jnp.minimum(config.cloudforce_max_point,
+                             config.cloudforce_max_sum / npts)
+    contacts_fn = (lambda s: contact_rows(s, model, params)) \
+        if config.physics_use_collision else None
+
+    for s in range(config.steps):
+        angulars = []
+        if s < config.steps_keyangles or config.angles_only:
+            angulars.append(apply_angles(
+                body, model, analysis, camera_pose, params,
+                10000.0 if s < config.steps_palmangle else 0.0))
+        linears = []
+        if s < config.steps_keypoints and not config.angles_only:
+            start = 3 if config.steps_keyangles else 0
+            for i in range(max(start, 3), 8):
+                ok = ((analysis.finger_clenched[i - 3] < 3.14 / 2.0)
+                      & (analysis.crays[i, 3] >= config.min_cray_prob))
+                q = quat_from_to(jnp.asarray([0.0, 0, 1]), analysis.crays[i, :3])
+                bone = int(FEATURE_BONES[i])
+                # feature offsets are already in the physics (COM) frame —
+                # Skin() applies them to GetPose() poses (handtrack.h:82)
+                offset = jnp.asarray(FEATURE_OFFSETS[i])
+                for axis in (qxdir(q), qydir(q)):
+                    linears.append(constrain_along_direction_deadzone(
+                        body, jnp.int32(-1), camera_pose[:3],
+                        jnp.int32(bone), offset, axis, 0.01,
+                        -100000.0, 100000.0, active=ok))
+        if config.steps_cloudstart <= s and not config.angles_only:
+            # takesubsample(vpts) again (handtrack.h:679): stride-4 of valid
+            vsub = point_mask & ((jnp.cumsum(point_mask) - 1) % 4 == 0)
+            cloud = cloud_constraint_rows(body, model, points, vsub,
+                                          origin=camera_pose[:3])
+            scale = cloudforce * jnp.where(cloud.b1 == 0, 0.1, 1.0)
+            linears.append(scale_cloud_forces(cloud, scale))
+
+        armdir = qrot(pose_quat(camera_pose), jnp.asarray([0.0, -1, 0]))
+        enh, rmin, rmax = hand_model_enhancements(body, model, params, armdir)
+        angulars.append(enh)
+
+        body = fit_point_cloud(
+            body, model, params,
+            points=jnp.zeros((0, 3), jnp.float32),
+            point_mask=jnp.zeros((0,), bool),
+            linears=concat_linear(*linears) if linears else None,
+            angulars=concat_angular(*angulars),
+            microforce=config.microforce,
+            rangemin=rmin, rangemax=rmax,
+            iterations=config.physics_iterations,
+            iterations_post=config.physics_iterations_post,
+            contacts_fn=contacts_fn)
+        body = body._replace(linear_momentum=jnp.zeros_like(body.linear_momentum),
+                             angular_momentum=jnp.zeros_like(body.angular_momentum))
+    return sanity_check(body, bp)
+
+
+# ---------------------------------------------------------------------------
+# update_cnn_model (handtrack.h:693-746)
+# ---------------------------------------------------------------------------
+
+def update_cnn_model(state: TrackerState, model, cnn_params, depth,
+                     cam: DCamera, config: TrackerConfig, params):
+    """The background-thread body, as a pure function.  Returns
+    (new TrackerState, CnnDebug)."""
+    drange = (0.1, config.drangey)
+    seg = hand_segment_vr(depth, cam, 0xF, drange, config.segment_scale)
+    hcam = seg.cam.sub(4)
+    cnn_input = cnn_input_from_segment(seg.depth, cam.depth_scale, drange)
+    cnn_output = cnn_forward(cnn_params, cnn_input[None])[0]
+    analysis = analyze_cnn_output(cnn_output, hcam)
+
+    pts_all, mask_all = point_cloud(depth, cam, *drange)
+    vsub = mask_all & ((jnp.cumsum(mask_all) - 1) % config.subsample_fraction == 0)
+    vpts, vmask = compact_points(pts_all, vsub, config.point_budget)
+
+    olderror = fit_error(state.body, model, vpts, vmask, depth, cam,
+                         config.bone_sum_error_scale)
+
+    other = state.body
+    do_reset = jnp.asarray(config.angles_only) | (olderror > config.full_reset_on_error)
+
+    def reset_path(b):
+        b = pose_from_scratch(b, model, analysis, vpts, vmask, seg.cam.pose)
+        for _ in range(config.steps_unibody):
+            b = unibody_fit(b, model, params, vpts, vmask,
+                            seg.cam.pose[:3], config.unibody_force,
+                            config.physics_iterations,
+                            config.physics_iterations_post)
+        return b
+
+    other = jax.lax.cond(do_reset, reset_path, lambda b: b, other)
+    other = multi_step_sim(other, model, analysis, vpts, vmask, seg.cam.pose,
+                           config, params)
+    newerror = fit_error(other, model, vpts, vmask, depth, cam,
+                         config.bone_sum_error_scale)
+
+    prev = jnp.where(newerror > olderror, 0.0,
+                     state.prev_frame_error + (olderror - newerror))
+    take = (((vmask.sum() > config.min_point_num) & (state.initializing > 0))
+            | jnp.asarray(config.always_take_cnn)
+            | jnp.asarray(config.angles_only)
+            | (prev > config.accum_error_threshold))
+    prev = jnp.where(prev > config.accum_error_threshold, 0.0, prev)
+    initializing = jnp.maximum(state.initializing - 1, 0)
+
+    body = state.body._replace(
+        pose=jnp.where(take, other.pose, state.body.pose))
+    dbg = CnnDebug(cnn_input=cnn_input, cnn_output=cnn_output,
+                   image_points=analysis.image_points,
+                   segment_cam_pose=seg.cam.pose)
+    return TrackerState(body, prev, initializing), dbg
+
+
+def kickstart(state: TrackerState, model, cnn_params, depth, cam, config,
+              params):
+    """handtrack.h:743: run the CNN synchronously and take its pose."""
+    cfg = config
+    new, dbg = update_cnn_model(state, model, cnn_params, depth, cam, cfg,
+                                params)
+    # kickstart always takes the pose (SetPose of the returned pose; the
+    # returned pose is only non-empty under `take`, so this is identical)
+    return new, dbg
+
+
+# ---------------------------------------------------------------------------
+# update (handtrack.h:748-785)
+# ---------------------------------------------------------------------------
+
+BOUNDARY_OUTDIRS = ((-1.0, -0.25, 0.0), (-1.0, -1.0, 0.0), (0.0, -1.0, 0.0),
+                    (1.0, -1.0, 0.0), (1.0, -0.25, 0.0))  # handtrack.h:776
+
+
+def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
+           config: TrackerConfig, params=None):
+    """Per-frame tracking step.  Returns (state, user poses (17,7), debug)."""
+    if params is None:
+        params = physics_params(config)
+    pts_all, mask_all = point_cloud(depth, cam, 0.1, config.drangey)
+    sub = mask_all & ((jnp.cumsum(mask_all) - 1) % config.subsample_fraction == 0)
+    points, mask = compact_points(pts_all, sub, config.point_budget)
+    npts = mask.sum()
+
+    dbg = None
+    if config.cnn_every_frame:
+        state, dbg = update_cnn_model(state, model, cnn_params, depth, cam,
+                                      config, params)
+
+    body = state.body
+    contacts_fn = (lambda s: contact_rows(s, model, params)) \
+        if config.physics_use_collision else None
+    if not config.angles_only:
+        for _ in range(config.mainthreadpasses):
+            enh, rmin, rmax = hand_model_enhancements(body, model, params,
+                                                      armdir=None)
+            linears = None
+            if config.boundary_planes:
+                chamber = cloud_chamber_rows(
+                    body, model, points, mask, BOUNDARY_OUTDIRS,
+                    jnp.zeros(3), jnp.asarray([0.0, 0, 1]), 10.0,
+                    active=npts > config.min_point_num)
+                linears = chamber
+            body = fit_point_cloud(
+                body, model, params, points, mask,
+                linears=linears, angulars=enh,
+                microforce=config.microforce,
+                rangemin=rmin, rangemax=rmax,
+                iterations=config.physics_iterations,
+                iterations_post=config.physics_iterations_post,
+                contacts_fn=contacts_fn)
+
+    initializing = jnp.where(npts < config.min_point_num, 50,
+                             state.initializing)
+    state = TrackerState(body, state.prev_frame_error, initializing)
+    return state, get_pose_user(body, model), dbg
+
+
+# ---------------------------------------------------------------------------
+# slowfit (handtrack.h:786-821) — annotation-grade fit
+# ---------------------------------------------------------------------------
+
+def slowfit(state: TrackerState, model, points, mask, config: TrackerConfig,
+            params, hold: int = 0, refpose=None, steps: int = 6):
+    body = state.body
+    contacts_fn = (lambda s: contact_rows(s, model, params)) \
+        if config.physics_use_collision else None
+    for st in range(steps):
+        enh, rmin, rmax = hand_model_enhancements(body, model, params,
+                                                  armdir=None)
+        angulars = [enh]
+        if hold and refpose is not None:
+            # ignore wrist->palm joint (hold==1 skips joints 0..3's? the
+            # reference filter: (&j != &joints[0] && hold==2) || (&j > &joints[3])
+            hold_rows = []
+            for j in range(model.joint_rbi0.shape[0]):
+                keep = (j != 0 and hold == 2) or (j > 3)
+                if keep:
+                    hold_rows.append(relative_angular_rows(
+                        body, refpose, int(model.joint_rbi0[j]),
+                        int(model.joint_rbi1[j]), params))
+            if hold_rows:
+                angulars.append(concat_angular(*hold_rows))
+        linears = None
+        if st < steps - 1:
+            cloud = cloud_constraint_rows(body, model, points, mask)
+            decay = config.microforce * (1.0 * (steps - st) / steps)
+            scale = decay * jnp.where(
+                cloud.b1 == 0, 0.1 * float(st < steps - 2), 1.0)
+            linears = scale_cloud_forces(cloud, scale)
+        body = fit_point_cloud(
+            body, model, params,
+            points=jnp.zeros((0, 3), jnp.float32),
+            point_mask=jnp.zeros((0,), bool),
+            linears=linears, angulars=concat_angular(*angulars),
+            iterations=config.physics_iterations,
+            iterations_post=config.physics_iterations_post,
+            contacts_fn=contacts_fn)
+    return state._replace(body=body)

@@ -365,6 +365,109 @@ int main(int argc, char **argv) {
         dump_floats("cnn_expected_frame0", lab.cnn_expected.data(), lab.cnn_expected.size());
     }
 
+    // ---- end-to-end synchronous tracker on synthetic depth ----
+    {
+        // replicate synthetic-hand-tracker's software path (FakeDepth) and a
+        // synchronous version of HandTracker::update (CNN consumed in-frame,
+        // which is what the TPU build does every frame)
+        std::ifstream ab(anim_path);
+        std::vector<std::vector<Pose>> bank;
+        std::string line;
+        while (std::getline(ab, line) && line != "") {
+            std::vector<Pose> pose(17);
+            std::stringstream ls(line);
+            for (auto &p : pose) ls >> p;
+            bank.push_back(pose);
+        }
+        HandTracker htk;  // loads deterministic xavier-init cnn (no .cnnb on disk)
+        PhysModel fakehand = LoadHandModel();
+        DCamera dcam({320, 240}, {305, 305}, {160, 120}, 0.001f);
+
+        auto fake_depth = [&](PhysModel &m) {
+            Image<unsigned short> depth(dcam);
+            depth.cam.depth_scale = dcam.depth_scale;
+            for (auto p : rect_iteration(depth.dim()))
+                depth.pixel(p) = (unsigned short)(m.HitCheck({0, 0, 0},
+                    depth.cam.deprojectz(float2(p), 4.0f)).impact.z / depth.cam.depth_scale);
+            return depth;
+        };
+
+        fakehand.SetPose(bank[0]);
+        {
+            auto d0 = fake_depth(fakehand);
+            std::ofstream fd(outdir + "/golden_fakedepth0.bin", std::ios::binary);
+            fd.write((char *)d0.raster.data(), d0.raster.size() * 2);
+        }
+
+        std::vector<float> track_err;
+        std::vector<Pose> all_poses;
+        const int NFRAMES = 12;
+        for (int f = 0; f < NFRAMES; f++) {
+            fakehand.SetPose(bank[(f * 7) % bank.size()]);
+            auto dimage = fake_depth(fakehand);
+            // synchronous update: cnn job first, then the main-thread pass
+            auto pose = htk.update_cnn_model(dimage);
+            htk.handmodel.SetPose(pose);  // empty -> no-op
+            auto points = takesubsample(PointCloud(dimage, {0.1f, htk.drangey}),
+                                        htk.subsample_fraction);
+            for (int i = 0; !htk.angles_only && i < htk.mainthreadpasses; i++) {
+                std::vector<LimitLinear> linears;
+                std::vector<LimitAngular> angulars;
+                HandModelEnhancements(htk.handmodel, angulars, false,
+                                      float3(0, 0, 0), float3(0, 0, 0), 0);
+                if (points.size() > htk.min_point_num && htk.boundary_planes) {
+                    std::vector<float3> outdirs = {float3(-1, -0.25f, 0), float3(-1, -1, 0),
+                                                   float3(0, -1, 0), float3(1, -1, 0), float3(1, -0.25f, 0)};
+                    Append(linears, cloud_chamber(htk.handmodel, points, outdirs,
+                                                  {0, 0, 0}, {0, 0, 1}, 10.0f));
+                }
+                htk.handmodel.FitPointCloud(points, linears, angulars, htk.microforce);
+            }
+            if (points.size() < htk.min_point_num) htk.initializing = 50;
+            for (auto &p : htk.handmodel.GetPose()) all_poses.push_back(p);
+            track_err.push_back(FitError(htk.handmodel, points, dimage));
+        }
+        dump_pose_array("synctrack_poses", all_poses);
+        dump_floats("synctrack_fit_error", track_err.data(), track_err.size());
+
+        // dynamics-only tracking: start at ground truth, no CNN, 1-frame steps
+        {
+            PhysModel tracked = LoadHandModel();
+            tracked.SetPose(bank[0]);
+            std::vector<Pose> dposes;
+            std::vector<float> derr;
+            const int NDYN = 30;
+            for (int f = 0; f < NDYN; f++) {
+                fakehand.SetPose(bank[f]);
+                auto dimage = fake_depth(fakehand);
+                auto points = takesubsample(PointCloud(dimage, {0.1f, 0.7f}), 4);
+                std::vector<LimitLinear> linears;
+                std::vector<LimitAngular> angulars;
+                HandModelEnhancements(tracked, angulars, false, float3(0, 0, 0),
+                                      float3(0, 0, 0), 0);
+                if (points.size() > 400) {
+                    std::vector<float3> outdirs = {float3(-1, -0.25f, 0), float3(-1, -1, 0),
+                                                   float3(0, -1, 0), float3(1, -1, 0), float3(1, -0.25f, 0)};
+                    Append(linears, cloud_chamber(tracked, points, outdirs,
+                                                  {0, 0, 0}, {0, 0, 1}, 10.0f));
+                }
+                tracked.FitPointCloud(points, linears, angulars, 1.0f);
+                for (auto &p : tracked.GetPose()) dposes.push_back(p);
+                float je = 0;
+                for (int b = 0; b < 17; b++)
+                    je += length(tracked.rigidbodies[b].position - fakehand.rigidbodies[b].position);
+                derr.push_back(je / 17.0f);
+            }
+            dump_pose_array("dyntrack_poses", dposes);
+            dump_floats("dyntrack_joint_err", derr.data(), derr.size());
+        }
+        // ground-truth fakehand poses used per frame
+        std::vector<Pose> gt;
+        for (int f = 0; f < NFRAMES; f++)
+            for (auto &p : bank[(f * 7) % bank.size()]) gt.push_back(p);
+        dump_pose_array("synctrack_gt", gt);
+    }
+
     g_out << "\n}\n";
     std::ofstream f(outdir + "/golden.json");
     f << g_out.str();
