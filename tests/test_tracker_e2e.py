@@ -1,0 +1,75 @@
+"""End-to-end tracker tests against reference-generated goldens.
+
+The key gate is dynamics-only synthetic tracking (BASELINE config 0): fake
+depth from animbank poses -> geometric FitPointCloud loop -> pose trajectory
+must match the reference's within ~1 mm in the stable regime.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hand_tracking_samples_tpu.cnn.model import load_cnnb
+from hand_tracking_samples_tpu.data.animbank import load_animbank
+from hand_tracking_samples_tpu.data.synth import fake_depth, synth_camera
+from hand_tracking_samples_tpu.tracker.config import TrackerConfig
+from hand_tracking_samples_tpu.tracker.runtime import (make_tracker_state,
+                                                       physics_params, update)
+from tests.conftest import FIXTURES
+
+ANIMBANK = "/root/reference/assets/animbank.pose"
+
+
+@pytest.fixture(scope="module")
+def bank():
+    return load_animbank(ANIMBANK)
+
+
+def test_fake_depth_golden(hand_model, bank):
+    cam = synth_camera()
+    d = jax.jit(lambda p: fake_depth(p, hand_model, cam))(jnp.asarray(bank[0]))
+    ref = np.fromfile(f"{FIXTURES}/golden_fakedepth0.bin", np.uint16).reshape(240, 320)
+    diff = np.array(d).astype(int) - ref.astype(int)
+    assert (diff == 0).mean() > 0.995
+    assert (np.abs(diff) > 2).sum() < 40  # grazing-ray edge pixels only
+
+
+def test_dynamics_only_tracking_parity(golden, hand_model, bank):
+    """BASELINE config 0: pose trajectory within 1.5mm of the reference over
+    the first 12 frames; drift curve tracks the reference's."""
+    cam = synth_camera()
+    config = TrackerConfig(point_budget=2048, cnn_every_frame=False)
+    params = physics_params(config)
+    state = make_tracker_state(hand_model)
+    state = state._replace(body=state.body._replace(pose=jnp.asarray(bank[0])))
+    step = jax.jit(lambda s, d: update(s, hand_model, None, d, cam, config,
+                                       params)[0])
+    fd = jax.jit(lambda p: fake_depth(p, hand_model, cam))
+    ref = np.array(golden["dyntrack_poses"], np.float32).reshape(30, 17, 7)
+    for f in range(12):
+        state = step(state, fd(jnp.asarray(bank[f])))
+        mine = np.array(state.body.pose)
+        ep = np.abs(mine[:, :3] - ref[f, :, :3]).max()
+        assert ep < 1.5e-3, f"frame {f}: {ep*1000:.2f}mm"
+        je_mine = np.linalg.norm(mine[:, :3] - bank[f][:, :3], axis=1).mean()
+        je_ref = golden["dyntrack_joint_err"][f]
+        assert je_mine < je_ref + 1.0e-3
+
+
+def test_full_tracker_smoke(hand_model, bank):
+    """Full pipeline (segmentation + untrained CNN + resets + multistep) runs
+    without NaNs and keeps the model near the cloud."""
+    cam = synth_camera()
+    cnn_params = load_cnnb(f"{FIXTURES}/golden_cnn_init.cnnb")
+    config = TrackerConfig(point_budget=2048)
+    params = physics_params(config)
+    state = make_tracker_state(hand_model)
+    step = jax.jit(lambda s, d: update(s, hand_model, cnn_params, d, cam,
+                                       config, params)[0])
+    fd = jax.jit(lambda p: fake_depth(p, hand_model, cam))
+    for f in range(3):
+        state = step(state, fd(jnp.asarray(bank[f * 7])))
+    pose = np.array(state.body.pose)
+    assert np.isfinite(pose).all()
+    # model should be in front of the camera in the scene's depth range
+    assert (pose[:, 2] > 0.05).all() and (pose[:, 2] < 1.0).all()
