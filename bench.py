@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Benchmark: batched synthetic-sequence tracking, tracked frames/sec/chip.
+
+BASELINE config 0 (synthetic-hand-tracker, dynamics-only fit) scaled the TPU
+way: hundreds of independent tracks vmapped per chip, lax.scan over time.
+The reference's real-time equivalent is 60 fps x 1 track on a desktop CPU
+(dcam.h:264, handtrack.h:45); the north star is >=10,000 tracked fps/chip.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hand_tracking_samples_tpu.data.animbank import load_animbank
+from hand_tracking_samples_tpu.data.synth import fake_depth, synth_camera
+from hand_tracking_samples_tpu.model.bake import load_hand_model
+from hand_tracking_samples_tpu.parallel.tracks import (batched_tracker_state,
+                                                       track_sequences)
+from hand_tracking_samples_tpu.tracker.config import TrackerConfig
+from hand_tracking_samples_tpu.tracker.runtime import physics_params
+
+MODEL_JSON = os.environ.get("HAND_MODEL_JSON",
+                            "/root/reference/assets/model_hand.json")
+ANIMBANK = os.environ.get("ANIMBANK", "/root/reference/assets/animbank.pose")
+
+N_TRACKS = int(os.environ.get("BENCH_TRACKS", "256"))
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))
+POINT_BUDGET = int(os.environ.get("BENCH_POINT_BUDGET", "1024"))
+SOLVER = os.environ.get("BENCH_SOLVER", "colored")
+CLOUD_ROWS = int(os.environ.get("BENCH_CLOUD_ROWS", "128"))
+
+
+def main():
+    model = jtu.tree_map(jnp.asarray, load_hand_model(MODEL_JSON))
+    bank = load_animbank(ANIMBANK)
+    cam = synth_camera()
+    config = TrackerConfig(point_budget=POINT_BUDGET, cnn_every_frame=False,
+                           solver=SOLVER, cloud_rows_per_body=CLOUD_ROWS,
+                           use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
+                           contacts_mode=os.environ.get("BENCH_CONTACTS", "jacobi"))
+    params = physics_params(config)
+
+    # synthesize depth streams: each track replays the animbank from its own
+    # start offset (independent sequences)
+    starts = (np.arange(N_TRACKS) * 37) % (len(bank) - N_FRAMES)
+    frame_ids = (starts[None, :] + np.arange(N_FRAMES)[:, None])  # (F, T)
+    poses = jnp.asarray(bank[frame_ids])                          # (F, T, 17, 7)
+
+    render = jax.jit(jax.vmap(lambda p: fake_depth(p, model, cam)))
+    depths = jnp.stack([render(poses[f]) for f in range(N_FRAMES)])  # (F,T,H,W)
+    depths.block_until_ready()
+
+    states = batched_tracker_state(model, N_TRACKS)
+    # start at each track's ground-truth first pose
+    states = states._replace(body=states.body._replace(pose=poses[0]))
+
+    run = jax.jit(lambda s, d: track_sequences(s, model, None, d, cam, config,
+                                               params))
+    t0 = time.time()
+    out_states, out_poses = run(states, depths)
+    jax.block_until_ready(out_poses)
+    compile_and_run = time.time() - t0
+
+    t0 = time.time()
+    out_states, out_poses = run(states, depths)
+    jax.block_until_ready(out_poses)
+    dt = time.time() - t0
+
+    frames = N_TRACKS * N_FRAMES
+    fps = frames / dt
+
+    # sanity: mean joint error vs ground truth on the last frame must stay
+    # in the tracking regime (not diverged)
+    err = float(jnp.linalg.norm(
+        out_states.body.pose[:, :, :3] - poses[-1][:, :, :3], axis=-1).mean())
+    sys.stderr.write(
+        f"# tracks={N_TRACKS} frames={N_FRAMES} warmup={compile_and_run:.1f}s "
+        f"run={dt:.3f}s mean_joint_err={err*1000:.2f}mm devices={jax.devices()}\n")
+
+    print(json.dumps({
+        "metric": "synthetic_dynamics_tracked_fps_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / 60.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,10 @@ def fake_depth(poses, model, cam: DCamera) -> jnp.ndarray:
     ends = cam.deprojectz(jnp.stack([xs, ys], -1), jnp.full((H, W), 4.0))
     ends = ends.reshape(-1, 3)                          # (N, 3) ray endpoints
 
-    def per_body(b):
+    def per_body(tmin, b):
+        # scan (not vmap) over bodies so only one (N, P) slab is live at a
+        # time — a vmapped version materialises bodies*pixels*planes floats,
+        # which for batched rendering blows past HBM.
         inv = pose_inverse(poses[b])
         l0 = pose_apply(inv, jnp.zeros(3))              # origin in bone frame
         dirl = qrot(inv[3:7], ends)                     # ends rotated
@@ -41,10 +44,10 @@ def fake_depth(poses, model, cam: DCamera) -> jnp.ndarray:
         t_enter = jnp.max(jnp.where((d0 >= 0) & (d1 < 0), t, 0.0), axis=1)
         t_exit = jnp.min(jnp.where((d0 <= 0) & (d1 > 0), t, 1.0), axis=1)
         hit = ~miss & (t_enter <= t_exit)
-        return jnp.where(hit, t_enter, 1.0)
+        return jnp.minimum(tmin, jnp.where(hit, t_enter, 1.0)), None
 
-    ts = jax.vmap(per_body)(jnp.arange(poses.shape[0]))  # (B, N)
-    tmin = ts.min(axis=0)
+    tmin, _ = jax.lax.scan(per_body, jnp.ones(ends.shape[0]),
+                           jnp.arange(poses.shape[0]))
     depth_m = tmin * 4.0                                  # ray z = 4*t
     return (depth_m / cam.depth_scale).astype(jnp.uint16).reshape(H, W)
 

@@ -25,7 +25,37 @@ from ..maths.quat import qconj, qrot, safenormalize
 from ..physics.solver import BodyState, FLT_MAX, LinearRows
 
 
-def closest_planes(state: BodyState, model, points, point_mask):
+def _hull_dots(state: BodyState, model, points):
+    """dot(plane, (local_point, 1)) for all (body, point, plane): (B, N, P).
+    Laid out body-major so the contraction is one batched (N,4)x(4,P) matmul
+    per body — MXU-shaped, and nothing (N,B,P,4)-sized is ever materialised."""
+    pos = state.position                      # (B,3)
+    q = state.orientation                     # (B,4)
+    local = qrot(qconj(q)[:, None, :], points[None, :, :] - pos[:, None, :])
+    ph = jnp.concatenate([local, jnp.ones_like(local[..., :1])], -1)  # (B,N,4)
+    return jax.lax.dot_general(
+        ph, model.planes,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)   # (B, N, P)
+
+
+def _hull_best(state: BodyState, model, points, origin, use_kernel):
+    """Per (body, point) most-above plane value/index (+ ray-clip reductions
+    when use_kernel).  Returns (hull_vals (B,N), pidx (B,N), slab or None)."""
+    if use_kernel:
+        from ..ops.correspondence import hull_reductions
+        o = jnp.zeros(3, points.dtype) if origin is None else origin
+        hull_vals, pidx, te, tx, miss = hull_reductions(
+            state.pose, model, points, o)
+        return hull_vals, pidx, (te, tx, miss)
+    dots = _hull_dots(state, model, points)                   # (B,N,P)
+    pidx = jnp.argmax(dots, axis=-1)                          # (B,N)
+    hull_vals = jnp.take_along_axis(dots, pidx[..., None], axis=-1)[..., 0]
+    return hull_vals, pidx, None
+
+
+def closest_planes(state: BodyState, model, points, point_mask,
+                   hull_best=None, use_kernel: bool = False):
     """For each point: (winning body index, winning world plane (4,), value).
 
     model: HandModelArrays (jnp). points: (N,3). Returns (N,), (N,4), (N,).
@@ -36,25 +66,21 @@ def closest_planes(state: BodyState, model, points, point_mask):
 
     # sphere candidates (physmodel.h:141-150)
     d = points[:, None, :] - pos[None, :, :]                  # (N,B,3)
-    n = jax.vmap(jax.vmap(safenormalize))(d)
+    n = safenormalize(d)
     w = -jnp.einsum("bk,nbk->nb", pos, n) - model.radius_inner[None, :]
     sphere_planes = jnp.concatenate([n, w[..., None]], axis=-1)  # (N,B,4)
     sphere_vals = jnp.einsum("nbk,nk->nb", n, points) + w        # (N,B)
 
     # hull most-above planes (physmodel.h:127-135)
-    qinv = qconj(q)
-    local = qrot(qinv[None, :, :], points[:, None, :] - pos[None, :, :])  # (N,B,3)
-    # dot(plane, (local,1)) over padded planes (padding has w=-1e9)
-    dots = (jnp.einsum("bpk,nbk->nbp", model.planes[..., :3], local)
-            + model.planes[None, :, :, 3])                    # (N,B,P)
-    pidx = jnp.argmax(dots, axis=-1)                          # (N,B)
-    hull_vals = jnp.take_along_axis(dots, pidx[..., None], axis=-1)[..., 0]
-    best_local = jnp.take_along_axis(
-        model.planes[None], pidx[:, :, None, None].repeat(4, -1), axis=2)[:, :, 0, :]
+    if hull_best is None:
+        hull_best = _hull_best(state, model, points, None, use_kernel)
+    hull_vals, pidx, _ = hull_best
+    best_local = jax.vmap(lambda pl, ix: pl[ix])(model.planes, pidx)  # (B,N,4)
     # transform to world (Pose::TransformPlane)
-    wn = qrot(q[None], best_local[..., :3])
-    ww = best_local[..., 3] - jnp.einsum("bk,nbk->nb", pos, wn)
-    hull_planes = jnp.concatenate([wn, ww[..., None]], axis=-1)
+    wn = qrot(q[:, None, :], best_local[..., :3])             # (B,N,3)
+    ww = best_local[..., 3] - jnp.einsum("bk,bnk->bn", pos, wn)
+    hull_planes = jnp.concatenate([wn, ww[..., None]], -1).swapaxes(0, 1)
+    hull_vals = hull_vals.swapaxes(0, 1)                      # (N,B)
 
     vals = jnp.concatenate([sphere_vals, hull_vals], axis=1)      # (N,2B)
     planes = jnp.concatenate([sphere_planes, hull_planes], axis=1)
@@ -62,7 +88,7 @@ def closest_planes(state: BodyState, model, points, point_mask):
     # the earliest index, matching the reference's strict-< scans.
     k = jnp.argmin(vals, axis=1)
     body = jnp.where(k >= B, k - B, k).astype(jnp.int32)
-    plane = jnp.take_along_axis(planes, k[:, None, None].repeat(4, -1), 1)[:, 0]
+    plane = jnp.take_along_axis(planes, k[:, None, None], 1)[:, 0]
     val = jnp.take_along_axis(vals, k[:, None], 1)[:, 0]
     return body, plane, val
 
@@ -87,12 +113,15 @@ def convex_hit_check(planes, plane_mask, p, v0, v1):
 
 
 def cloud_constraint_rows(state: BodyState, model, points, point_mask,
-                          origin=None, directed: bool = True) -> LinearRows:
+                          origin=None, directed: bool = True,
+                          use_kernel: bool = False) -> LinearRows:
     """CloudConstraints (physmodel.h:163-181): one row per point slot.
     Force limits are the caller's job (they differ per call site)."""
     if origin is None:
         origin = jnp.zeros(3, points.dtype)
-    body, plane, val = closest_planes(state, model, points, point_mask)
+    hull_best = _hull_best(state, model, points, origin, use_kernel)
+    body, plane, val = closest_planes(state, model, points, point_mask,
+                                      hull_best=hull_best)
     bpose = state.pose[body]                                   # (N,7)
 
     # default branch: attach at the point projected onto the winning plane
@@ -101,12 +130,31 @@ def cloud_constraint_rows(state: BodyState, model, points, point_mask,
     n_default = plane[:, :3]
 
     if directed:
-        dirn = jax.vmap(lambda v: v / jnp.linalg.norm(v))(points - origin)
+        dirn = (points - origin) / jnp.linalg.norm(
+            points - origin, axis=-1, keepdims=True)
         front = jnp.einsum("nk,nk->n", points - origin, plane[:, :3]) > 0
-        hit, impact = jax.vmap(
-            lambda b, bp, v: convex_hit_check(
-                model.planes[b], model.plane_mask[b], bp, origin, v)
-        )(body, bpose, points)
+        if hull_best[2] is not None:
+            t_enter, t_exit, miss = hull_best[2]
+            hit_all = (miss == 0) & (t_enter <= t_exit)
+        else:
+            # slab ray clip origin->point, reusing the point dots: d1 = dots
+            # of the segment end (the point itself); d0 = the origin's.
+            dots = _hull_dots(state, model, points)
+            olocal = pose_apply(pose_inverse(state.pose), origin)  # (B,3)
+            d0 = (jnp.einsum("bpk,bk->bp", model.planes[..., :3], olocal)
+                  + model.planes[..., 3])                          # (B,P)
+            d0 = jnp.where(model.plane_mask, d0, -1.0)[:, None, :]  # (B,1,P)
+            d1 = jnp.where(model.plane_mask[:, None, :], dots, -1.0)
+            miss = jnp.any((d0 >= 0) & (d1 >= 0), axis=-1)         # (B,N)
+            denom = d0 - d1
+            t = jnp.where(denom != 0, d0 / jnp.where(denom == 0, 1.0, denom), 0.0)
+            t_enter = jnp.max(jnp.where((d0 >= 0) & (d1 < 0), t, 0.0), axis=-1)
+            t_exit = jnp.min(jnp.where((d0 <= 0) & (d1 > 0), t, 1.0), axis=-1)
+            hit_all = ~miss & (t_enter <= t_exit)                  # (B,N)
+        nidx = jnp.arange(points.shape[0])
+        hit = hit_all[body, nidx]
+        te = t_enter[body, nidx]
+        impact = origin + (points - origin) * te[:, None]
         use_ray = front & hit
         p1 = jnp.where(use_ray[:, None],
                        pose_apply(pose_inverse(bpose), impact), p1_default)
@@ -138,10 +186,11 @@ def scale_cloud_forces(rows: LinearRows, per_row_scale) -> LinearRows:
 
 
 def fit_error(state: BodyState, model, points, point_mask, depth, depth_cam,
-              bone_sum_error_scale: float = 4.0):
+              bone_sum_error_scale: float = 4.0, use_kernel: bool = False):
     """handtrack.h:369-399 FitError."""
     B = model.planes.shape[0]
-    body, plane, val = closest_planes(state, model, points, point_mask)
+    body, plane, val = closest_planes(state, model, points, point_mask,
+                                      use_kernel=use_kernel)
     contrib = jnp.where(point_mask, val, -jnp.inf)
     pointerror = jnp.zeros(B, val.dtype).at[body].max(contrib)
     point_error_sum = jnp.maximum(pointerror, 0.0).sum()
@@ -197,3 +246,18 @@ def cloud_chamber_rows(state: BodyState, model, points, point_mask, outdirs,
         rows.append(jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), r))
     from ..physics.solver import concat_linear
     return concat_linear(*rows)
+
+
+def rows_to_single_block(rows: LinearRows, layout):
+    """Reshape structurally single-body rows (b0 = world) whose emission
+    order is slot-major/body-minor into a SingleBodyLinear (C, B) block.
+    layout = (C, B).  Exact iff row k*B+b targets body b (true for the
+    chamber rows: dir-major, body-minor)."""
+    from ..physics.colored import SingleBodyLinear
+    C, B = layout
+    rs = lambda x: x.reshape((C, B) + x.shape[1:])
+    return SingleBodyLinear(
+        normal=rs(rows.normal), r1=rs(rows.r1),
+        targetdist=rs(rows.targetdist),
+        targetspeednobias=rs(rows.targetspeednobias),
+        fmin=rs(rows.fmin), fmax=rs(rows.fmax), active=rs(rows.active))

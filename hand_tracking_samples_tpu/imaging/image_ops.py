@@ -141,8 +141,10 @@ def point_cloud(depth, cam: DCamera, range_lo, range_hi, stride: int = 1):
 def compact_points(points, mask, budget: int):
     """Pack the valid points to the front, fixed budget. Points beyond the
     budget are dropped (the reference keeps all; the budget is the TPU
-    static-shape tradeoff — size it generously)."""
-    order = jnp.argsort(~mask, stable=True)  # valid first, original order
-    pts = points[order[:budget]]
-    msk = mask[order[:budget]]
+    static-shape tradeoff — size it generously).  Linear-time prefix-sum
+    scatter (a sort here costs more than the whole solve)."""
+    dest = jnp.cumsum(mask) - 1
+    dest = jnp.where(mask & (dest < budget), dest, budget)
+    pts = jnp.zeros((budget, 3), points.dtype).at[dest].set(points, mode="drop")
+    msk = jnp.zeros((budget,), bool).at[dest].set(mask, mode="drop")
     return pts, msk

@@ -74,16 +74,29 @@ def fit_point_cloud(state: BodyState, model, params: PhysicsParams,
                     microforce: float = 1.0, origin=None,
                     rangemin=None, rangemax=None,
                     iterations: int = 16, iterations_post: int = 4,
-                    contacts_fn=None) -> BodyState:
+                    contacts_fn=None, schedule=None, single_blocks=None,
+                    angular_pair_blocks=None, cloud_slots: int = 128,
+                    use_kernel: bool = False) -> BodyState:
     """FitPointCloud (physmodel.h:345-356).
 
     Row order matches the reference: [caller linears][cloud rows][joint
     nailed rows][contact rows]; angulars: [caller angulars][joint ranges].
+
+    When `schedule` (a HandSchedule) is given, the colored fast solver is
+    used: caller rows arrive as `single_blocks` (SingleBodyLinear, in order)
+    and `angular_pair_blocks`; contacts are generated internally when
+    `contacts_fn` is truthy.
     """
+    if schedule is not None:
+        return _fit_point_cloud_colored(
+            state, model, params, points, point_mask, microforce, origin,
+            rangemin, rangemax, iterations, iterations_post,
+            contacts_fn is not None, schedule, single_blocks or [],
+            angular_pair_blocks or [], cloud_slots, use_kernel)
     lin_blocks = [joint_linear_rows(state, model)]
     if points.shape[0] > 0:
         cloud = cloud_constraint_rows(state, model, points, point_mask,
-                                      origin=origin)
+                                      origin=origin, use_kernel=use_kernel)
         # weak force on wrist/palm/thumb-base bodies (physmodel.h:347)
         weak = (cloud.b1 <= 2).astype(jnp.float32)
         scale = (weak * PHYSICS_WEAK_FORCE + (1.0 - weak)) * microforce
@@ -103,6 +116,42 @@ def fit_point_cloud(state: BodyState, model, params: PhysicsParams,
     bp = body_params(model)
     new = physics_update(state, bp, lin, ang, params,
                          iterations=iterations, iterations_post=iterations_post)
+    return sanity_check(new, bp)
+
+
+def _fit_point_cloud_colored(state, model, params, points, point_mask,
+                             microforce, origin, rangemin, rangemax,
+                             iterations, iterations_post, use_contacts,
+                             schedule, single_blocks, angular_pair_blocks,
+                             cloud_slots, use_kernel=False):
+    from ..physics.colored import pack_single_body_linear, physics_update_colored
+    from ..physics.contacts import contact_rows
+    from ..physics.schedule import pair_angular, pair_linear
+
+    B = state.pose.shape[0]
+    lin_blocks = list(single_blocks)
+    if points.shape[0] > 0:
+        cloud = cloud_constraint_rows(state, model, points, point_mask,
+                                      origin=origin, use_kernel=use_kernel)
+        weak = (cloud.b1 <= 2).astype(jnp.float32)
+        scale = (weak * PHYSICS_WEAK_FORCE + (1.0 - weak)) * microforce
+        cloud = scale_cloud_forces(cloud, scale)
+        lin_blocks.append(pack_single_body_linear(cloud, B, cloud_slots))
+    nailed = joint_linear_rows(state, model)
+    lin_blocks.append(pair_linear(nailed, schedule.joint_lin_groups,
+                                  schedule.joint_lin_onehots))
+    if use_contacts:
+        contacts = contact_rows(state, model, params)
+        lin_blocks.append(pair_linear(contacts, schedule.contact_groups,
+                                      schedule.contact_onehots))
+    ang_blocks = list(angular_pair_blocks)
+    ja = joint_angular_rows(state, model, params, rangemin, rangemax)
+    ang_blocks.append(pair_angular(ja, schedule.joint_ang_groups,
+                                   schedule.joint_ang_onehots))
+    bp = body_params(model)
+    new = physics_update_colored(state, bp, lin_blocks, ang_blocks, params,
+                                 iterations=iterations,
+                                 iterations_post=iterations_post)
     return sanity_check(new, bp)
 
 

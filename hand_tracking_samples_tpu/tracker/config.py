@@ -47,6 +47,14 @@ class TrackerConfig:
     point_budget: int = 1024        # static cloud-point slots per frame
     multistep_point_budget: int = 256  # after the extra /4 subsample
     cnn_every_frame: bool = True    # reference: background thread, less often
+    solver: str = "sequential"      # "sequential" (bit-faithful row order) or
+    # "colored" (disjoint-row groups; identical up to commuting rows, with a
+    # per-body cloud-row cap of cloud_rows_per_body)
+    cloud_rows_per_body: int = 128
+    use_pallas: bool = False        # fused correspondence kernel (TPU only);
+    # requires point budgets that are multiples of 512
+    contacts_mode: str = "exact"    # "exact" precedence schedule or "jacobi"
+    # (one parallel phase per row kind; measured deviation << parity gate)
 
     def load_json(self, path: str) -> "TrackerConfig":
         """HandTracker::load_config (handtrack.h:822-828)."""

@@ -204,12 +204,14 @@ _UNIBODY_TINV = jnp.eye(3) * (6.0 / (0.2 * 0.2))
 
 def unibody_fit(body: BodyState, model, params, points, point_mask,
                 camera_position, unibody_force: float = 0.1,
-                iterations: int = 16, iterations_post: int = 4) -> BodyState:
+                iterations: int = 16, iterations_post: int = 4,
+                use_kernel: bool = False) -> BodyState:
     # takesubsample(pts) inside UnibodyFit (handtrack.h:453): stride-4 mask
     idx = jnp.arange(points.shape[0])
     vsub = point_mask & ((jnp.cumsum(point_mask) - 1) % 4 == 0)
     rows = cloud_constraint_rows(body, model, points, vsub,
-                                 origin=camera_position)
+                                 origin=camera_position,
+                                 use_kernel=use_kernel)
     uni_pose = jnp.concatenate([body.pose[1, :3], body.pose[1, 3:7]])
     # retarget rows to the unibody (handtrack.h:457-461)
     bpose = body.pose[rows.b1]
@@ -239,7 +241,8 @@ def unibody_fit(body: BodyState, model, params, points, point_mask,
 
 def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
                    points, point_mask, camera_pose, config: TrackerConfig,
-                   params) -> BodyState:
+                   params, schedule=None) -> BodyState:
+    colored = schedule is not None
     bp = body_params(model)
     body = sanity_check(body, bp)
     npts = jnp.maximum(point_mask.sum(), 1)
@@ -250,11 +253,19 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
 
     for s in range(config.steps):
         angulars = []
+        ang_blocks = []
         if s < config.steps_keyangles or config.angles_only:
-            angulars.append(apply_angles(
-                body, model, analysis, camera_pose, params,
-                10000.0 if s < config.steps_palmangle else 0.0))
+            aa = apply_angles(body, model, analysis, camera_pose, params,
+                              10000.0 if s < config.steps_palmangle else 0.0)
+            if colored:
+                from ..physics.schedule import pair_angular
+                ang_blocks.append(pair_angular(
+                    aa, schedule.apply_angles_groups,
+                    schedule.apply_angles_onehots))
+            else:
+                angulars.append(aa)
         linears = []
+        single_blocks = []
         if s < config.steps_keypoints and not config.angles_only:
             start = 3 if config.steps_keyangles else 0
             for i in range(max(start, 3), 8):
@@ -270,29 +281,50 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
                         body, jnp.int32(-1), camera_pose[:3],
                         jnp.int32(bone), offset, axis, 0.01,
                         -100000.0, 100000.0, active=ok))
+            if colored:
+                from ..physics.colored import pack_single_body_linear
+                single_blocks.append(pack_single_body_linear(
+                    concat_linear(*linears), body.pose.shape[0], 4))
+                linears = []
         if config.steps_cloudstart <= s and not config.angles_only:
             # takesubsample(vpts) again (handtrack.h:679): stride-4 of valid
             vsub = point_mask & ((jnp.cumsum(point_mask) - 1) % 4 == 0)
             cloud = cloud_constraint_rows(body, model, points, vsub,
-                                          origin=camera_pose[:3])
+                                          origin=camera_pose[:3],
+                                          use_kernel=config.use_pallas)
             scale = cloudforce * jnp.where(cloud.b1 == 0, 0.1, 1.0)
-            linears.append(scale_cloud_forces(cloud, scale))
+            cloud = scale_cloud_forces(cloud, scale)
+            if colored:
+                from ..physics.colored import pack_single_body_linear
+                single_blocks.append(pack_single_body_linear(
+                    cloud, body.pose.shape[0], config.cloud_rows_per_body))
+            else:
+                linears.append(cloud)
 
         armdir = qrot(pose_quat(camera_pose), jnp.asarray([0.0, -1, 0]))
         enh, rmin, rmax = hand_model_enhancements(body, model, params, armdir)
-        angulars.append(enh)
+        if colored:
+            from ..physics.schedule import pair_angular
+            ang_blocks.append(pair_angular(enh, schedule.enh_cone_groups,
+                                           schedule.enh_cone_onehots))
+        else:
+            angulars.append(enh)
 
         body = fit_point_cloud(
             body, model, params,
             points=jnp.zeros((0, 3), jnp.float32),
             point_mask=jnp.zeros((0,), bool),
             linears=concat_linear(*linears) if linears else None,
-            angulars=concat_angular(*angulars),
+            angulars=concat_angular(*angulars) if angulars else None,
             microforce=config.microforce,
             rangemin=rmin, rangemax=rmax,
             iterations=config.physics_iterations,
             iterations_post=config.physics_iterations_post,
-            contacts_fn=contacts_fn)
+            contacts_fn=contacts_fn,
+            schedule=schedule, single_blocks=single_blocks,
+            angular_pair_blocks=ang_blocks,
+            cloud_slots=config.cloud_rows_per_body,
+            use_kernel=config.use_pallas)
         body = body._replace(linear_momentum=jnp.zeros_like(body.linear_momentum),
                              angular_momentum=jnp.zeros_like(body.angular_momentum))
     return sanity_check(body, bp)
@@ -303,7 +335,8 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
 # ---------------------------------------------------------------------------
 
 def update_cnn_model(state: TrackerState, model, cnn_params, depth,
-                     cam: DCamera, config: TrackerConfig, params):
+                     cam: DCamera, config: TrackerConfig, params,
+                     schedule=None):
     """The background-thread body, as a pure function.  Returns
     (new TrackerState, CnnDebug)."""
     drange = (0.1, config.drangey)
@@ -318,7 +351,8 @@ def update_cnn_model(state: TrackerState, model, cnn_params, depth,
     vpts, vmask = compact_points(pts_all, vsub, config.point_budget)
 
     olderror = fit_error(state.body, model, vpts, vmask, depth, cam,
-                         config.bone_sum_error_scale)
+                         config.bone_sum_error_scale,
+                         use_kernel=config.use_pallas)
 
     other = state.body
     do_reset = jnp.asarray(config.angles_only) | (olderror > config.full_reset_on_error)
@@ -329,14 +363,16 @@ def update_cnn_model(state: TrackerState, model, cnn_params, depth,
             b = unibody_fit(b, model, params, vpts, vmask,
                             seg.cam.pose[:3], config.unibody_force,
                             config.physics_iterations,
-                            config.physics_iterations_post)
+                            config.physics_iterations_post,
+                            use_kernel=config.use_pallas)
         return b
 
     other = jax.lax.cond(do_reset, reset_path, lambda b: b, other)
     other = multi_step_sim(other, model, analysis, vpts, vmask, seg.cam.pose,
-                           config, params)
+                           config, params, schedule=schedule)
     newerror = fit_error(other, model, vpts, vmask, depth, cam,
-                         config.bone_sum_error_scale)
+                         config.bone_sum_error_scale,
+                         use_kernel=config.use_pallas)
 
     prev = jnp.where(newerror > olderror, 0.0,
                      state.prev_frame_error + (olderror - newerror))
@@ -375,10 +411,16 @@ BOUNDARY_OUTDIRS = ((-1.0, -0.25, 0.0), (-1.0, -1.0, 0.0), (0.0, -1.0, 0.0),
 
 
 def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
-           config: TrackerConfig, params=None):
+           config: TrackerConfig, params=None, schedule=None):
     """Per-frame tracking step.  Returns (state, user poses (17,7), debug)."""
     if params is None:
         params = physics_params(config)
+    colored = config.solver == "colored"
+    if colored and schedule is None:
+        from ..physics.schedule import build_hand_schedule
+        schedule = build_hand_schedule(model, config.contacts_mode)
+    if not colored:
+        schedule = None
     pts_all, mask_all = point_cloud(depth, cam, 0.1, config.drangey)
     sub = mask_all & ((jnp.cumsum(mask_all) - 1) % config.subsample_fraction == 0)
     points, mask = compact_points(pts_all, sub, config.point_budget)
@@ -387,7 +429,7 @@ def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
     dbg = None
     if config.cnn_every_frame:
         state, dbg = update_cnn_model(state, model, cnn_params, depth, cam,
-                                      config, params)
+                                      config, params, schedule=schedule)
 
     body = state.body
     contacts_fn = (lambda s: contact_rows(s, model, params)) \
@@ -397,20 +439,29 @@ def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
             enh, rmin, rmax = hand_model_enhancements(body, model, params,
                                                       armdir=None)
             linears = None
+            single_blocks = []
             if config.boundary_planes:
                 chamber = cloud_chamber_rows(
                     body, model, points, mask, BOUNDARY_OUTDIRS,
                     jnp.zeros(3), jnp.asarray([0.0, 0, 1]), 10.0,
                     active=npts > config.min_point_num)
-                linears = chamber
+                if colored:
+                    from ..fitting.cloud import rows_to_single_block
+                    single_blocks.append(rows_to_single_block(
+                        chamber, (len(BOUNDARY_OUTDIRS), body.pose.shape[0])))
+                else:
+                    linears = chamber
             body = fit_point_cloud(
                 body, model, params, points, mask,
-                linears=linears, angulars=enh,
+                linears=linears, angulars=None if colored else enh,
                 microforce=config.microforce,
                 rangemin=rmin, rangemax=rmax,
                 iterations=config.physics_iterations,
                 iterations_post=config.physics_iterations_post,
-                contacts_fn=contacts_fn)
+                contacts_fn=contacts_fn,
+                schedule=schedule, single_blocks=single_blocks,
+                cloud_slots=config.cloud_rows_per_body,
+                use_kernel=config.use_pallas)
 
     initializing = jnp.where(npts < config.min_point_num, 50,
                              state.initializing)
@@ -445,7 +496,8 @@ def slowfit(state: TrackerState, model, points, mask, config: TrackerConfig,
                 angulars.append(concat_angular(*hold_rows))
         linears = None
         if st < steps - 1:
-            cloud = cloud_constraint_rows(body, model, points, mask)
+            cloud = cloud_constraint_rows(body, model, points, mask,
+                                          use_kernel=config.use_pallas)
             decay = config.microforce * (1.0 * (steps - st) / steps)
             scale = decay * jnp.where(
                 cloud.b1 == 0, 0.1 * float(st < steps - 2), 1.0)
