@@ -47,7 +47,7 @@ def main():
     config = TrackerConfig(point_budget=POINT_BUDGET, cnn_every_frame=False,
                            solver=SOLVER, cloud_rows_per_body=CLOUD_ROWS,
                            use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
-                           contacts_mode=os.environ.get("BENCH_CONTACTS", "jacobi"))
+                           contacts_mode=os.environ.get("BENCH_CONTACTS", "exact"))
     params = physics_params(config)
 
     # synthesize depth streams: each track replays the animbank from its own
@@ -57,7 +57,11 @@ def main():
     poses = jnp.asarray(bank[frame_ids])                          # (F, T, 17, 7)
 
     render = jax.jit(jax.vmap(lambda p: fake_depth(p, model, cam)))
-    depths = jnp.stack([render(poses[f]) for f in range(N_FRAMES)])  # (F,T,H,W)
+    RCHUNK = 256  # the ray-cast scan keeps a (chunk, pixels, planes) slab live
+    depths = jnp.stack([
+        jnp.concatenate([render(poses[f, i:i + RCHUNK])
+                         for i in range(0, N_TRACKS, RCHUNK)])
+        for f in range(N_FRAMES)])                                # (F,T,H,W)
     depths.block_until_ready()
 
     states = batched_tracker_state(model, N_TRACKS)

@@ -143,8 +143,7 @@ def compact_points(points, mask, budget: int):
     budget are dropped (the reference keeps all; the budget is the TPU
     static-shape tradeoff — size it generously).  Linear-time prefix-sum
     scatter (a sort here costs more than the whole solve)."""
-    dest = jnp.cumsum(mask) - 1
-    dest = jnp.where(mask & (dest < budget), dest, budget)
-    pts = jnp.zeros((budget, 3), points.dtype).at[dest].set(points, mode="drop")
-    msk = jnp.zeros((budget,), bool).at[dest].set(mask, mode="drop")
+    order = jnp.argsort(~mask, stable=True)  # valid first, original order
+    pts = points[order[:budget]]
+    msk = mask[order[:budget]]
     return pts, msk
