@@ -1,0 +1,106 @@
+"""realtime-annotator / annotation-fixer equivalent: batch auto-labeling.
+
+The reference's annotator captures frames live and runs `slowfit` per frame
+to produce ground-truth poses (realtime-annotator.cpp:112-175); the fixer
+re-simulates fits over a recorded dataset (annotation-fixer.cpp:70).  This
+CLI is the offline composition of both: kickstart on the first frames, then
+slowfit every frame with optional hold mode, writing the refined poses back
+out in the dataset format.
+
+    python -m hand_tracking_samples_tpu.apps.annotate rec.rs --out rec_fit
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+
+def main(argv=None):
+    from ..utils.platform import select_platform
+    select_platform()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("recordings", nargs="+")
+    ap.add_argument("--model", default="/root/reference/assets/model_hand.json")
+    ap.add_argument("--cnnb", default=None)
+    ap.add_argument("--out", default=None, help="basename for refined output")
+    ap.add_argument("--hold", type=int, default=0, choices=[0, 1, 2],
+                    help="hold relative finger pose (occluded captures)")
+    ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--kickstart", type=int, default=5,
+                    help="CNN kickstart frames before slowfitting")
+    ap.add_argument("--max-frames", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from ..cnn.model import init_params, load_cnnb
+    from ..data.dataset import DatasetWriter, load_dataset
+    from ..fitting.cloud import fit_error
+    from ..imaging.image_ops import compact_points, point_cloud
+    from ..model.bake import load_hand_model
+    from ..tracker.config import TrackerConfig
+    from ..tracker.runtime import (kickstart, make_tracker_state,
+                                   physics_params, slowfit)
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    model = jtu.tree_map(jnp.asarray, load_hand_model(args.model))
+    config = TrackerConfig(point_budget=2048, solver="sequential",
+                           use_pallas=False)
+    params = physics_params(config)
+    cnn_params = (load_cnnb(args.cnnb) if args.cnnb
+                  else init_params(jax.random.PRNGKey(0)))
+
+    for rec in args.recordings:
+        bname = rec[:-3] if rec.endswith(".rs") else rec
+        ds = load_dataset(bname)
+        cam = ds.info.camera()
+        F = len(ds.depth) if not args.max_frames else min(args.max_frames,
+                                                          len(ds.depth))
+        state = make_tracker_state(model)
+        if np.abs(ds.pose).sum() > 0:  # refine existing annotations
+            state = state._replace(body=state.body._replace(
+                pose=jnp.asarray(ds.pose[0])))
+            do_kickstart = 0
+        else:
+            do_kickstart = args.kickstart
+
+        ks = jax.jit(lambda s, d: kickstart(s, model, cnn_params, d, cam,
+                                            config, params)[0])
+
+        def points_of(depth):
+            pts_all, mask_all = point_cloud(depth, cam, 0.1, 0.6)
+            sub = mask_all & ((jnp.cumsum(mask_all) - 1) % 4 == 0)
+            return compact_points(pts_all, sub, config.point_budget)
+
+        sf = jax.jit(lambda s, p, m, ref: slowfit(
+            s, model, p, m, config, params, hold=args.hold, refpose=ref,
+            steps=args.steps))
+        fe = jax.jit(lambda s, p, m, d: fit_error(s.body, model, p, m, d, cam))
+
+        out_poses = np.zeros((F, 17, 7), np.float32)
+        errors = []
+        refpose = jnp.asarray(ds.pose[0]) if np.abs(ds.pose).sum() > 0 \
+            else jnp.asarray(model.start_pose)
+        for f in range(F):
+            depth = jnp.asarray(ds.depth[f])
+            if f < do_kickstart:
+                state = ks(state, depth)
+            pts, mask = points_of(depth)
+            state = sf(state, pts, mask, refpose)
+            out_poses[f] = np.asarray(state.body.pose)
+            errors.append(float(fe(state, pts, mask, depth)))
+        print(f"{bname}: slowfit {F} frames, mean fit error "
+              f"{np.mean(errors):.4f}")
+        if args.out:
+            with DatasetWriter(args.out, ds.info) as w:
+                w.save_frames(ds.depth[:F], out_poses,
+                              None if ds.ir is None else ds.ir[:F])
+            print(f"  wrote {args.out}.rs/.pose/.json")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

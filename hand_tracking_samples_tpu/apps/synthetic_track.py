@@ -1,0 +1,103 @@
+"""synthetic-hand-tracker equivalent: camera-free end-to-end tracking demo.
+
+Animates a ground-truth hand from animbank.pose, ray-casts synthetic depth,
+runs the tracker, and reports per-frame mean joint error vs ground truth —
+the reference's entry-point regression harness (synthetic-tracker.cpp:85),
+batched over independent tracks.
+
+    python -m hand_tracking_samples_tpu.apps.synthetic_track \
+        --animbank /root/reference/assets/animbank.pose --frames 64 --tracks 8
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+
+def main(argv=None):
+    from ..utils.platform import select_platform
+    select_platform()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="/root/reference/assets/model_hand.json")
+    ap.add_argument("--animbank", default="/root/reference/assets/animbank.pose")
+    ap.add_argument("--cnnb", default=None, help=".cnnb weights (optional)")
+    ap.add_argument("--frames", type=int, default=32)
+    ap.add_argument("--tracks", type=int, default=4)
+    ap.add_argument("--stride", type=int, default=1, help="animbank frame step")
+    ap.add_argument("--dynamics-only", action="store_true",
+                    help="skip the CNN path (BASELINE config 0)")
+    ap.add_argument("--solver", default="colored",
+                    choices=["colored", "sequential"])
+    ap.add_argument("--pallas", action="store_true", default=None)
+    ap.add_argument("--dump-png", default=None, help="dir for debug PNGs")
+    ap.add_argument("--start-at-gt", action="store_true", default=True)
+    args = ap.parse_args(argv)
+
+    from ..cnn.model import init_params, load_cnnb
+    from ..data.animbank import load_animbank
+    from ..data.synth import fake_depth, synth_camera
+    from ..model.bake import load_hand_model
+    from ..parallel.tracks import batched_tracker_state, batched_update
+    from ..tracker.config import TrackerConfig
+    from ..tracker.runtime import physics_params
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    use_pallas = args.pallas if args.pallas is not None else on_tpu
+
+    model = jtu.tree_map(jnp.asarray, load_hand_model(args.model))
+    bank = load_animbank(args.animbank)
+    cam = synth_camera()
+    config = TrackerConfig(
+        point_budget=2048, solver=args.solver, use_pallas=use_pallas,
+        cnn_every_frame=not args.dynamics_only)
+    params = physics_params(config)
+    cnn_params = None
+    if not args.dynamics_only:
+        cnn_params = (load_cnnb(args.cnnb) if args.cnnb
+                      else init_params(jax.random.PRNGKey(0)))
+
+    T = args.tracks
+    starts = (np.arange(T) * 131) % max(1, len(bank) - args.frames * args.stride)
+    states = batched_tracker_state(model, T)
+    if args.start_at_gt:
+        states = states._replace(body=states.body._replace(
+            pose=jnp.asarray(bank[starts])))
+
+    render = jax.jit(jax.vmap(lambda p: fake_depth(p, model, cam)))
+    step = jax.jit(lambda s, d: batched_update(s, model, cnn_params, d, cam,
+                                               config, params))
+    errs = []
+    t0 = time.time()
+    for f in range(args.frames):
+        ids = starts + f * args.stride
+        gt = jnp.asarray(bank[ids])
+        depths = render(gt)
+        states, poses_user = step(states, depths)
+        je = jnp.linalg.norm(states.body.pose[:, :, :3] - gt[:, :, :3],
+                             axis=-1).mean()
+        errs.append(float(je))
+        if f % 8 == 0 or f == args.frames - 1:
+            print(f"frame {f:4d}: mean joint err {float(je)*1000:7.2f} mm")
+        if args.dump_png and f % 8 == 0:
+            from ..utils.viz import depth_to_rgb, write_png
+            write_png(os.path.join(args.dump_png, f"depth_{f:04d}.png"),
+                      depth_to_rgb(np.asarray(depths[0])))
+    dt = time.time() - t0
+    total = args.frames * T
+    print(f"\ntracked {total} frames in {dt:.2f}s "
+          f"({total/dt:.0f} fps incl. synthesis+compile)")
+    print(f"mean joint error: {np.mean(errs)*1000:.2f} mm "
+          f"(final {errs[-1]*1000:.2f} mm)")
+    return np.mean(errs)
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() is not None else 1)
