@@ -138,6 +138,72 @@ def point_cloud(depth, cam: DCamera, range_lo, range_hi, stride: int = 1):
     return pts.reshape(-1, 3), mask.reshape(-1)
 
 
+def depth_mesh(depth, cam: DCamera, range_lo, range_hi, gaplimit=jnp.inf,
+               skip: int = 1):
+    """DepthMesh (misc_image.h:419-451) with static shapes: one vertex per
+    (skip x skip) cell (the cell's top-left in-range pixel in the reference;
+    here the cell representative), quads triangulated where all corners are
+    valid and depth gaps stay under `gaplimit`.  Returns (verts (H*W,3),
+    vert_mask, tris (2*(H-1)*(W-1),3), tri_mask)."""
+    d = depth[::skip, ::skip].astype(jnp.float32) * cam.depth_scale
+    h, w = d.shape
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32) * skip,
+                          jnp.arange(w, dtype=jnp.float32) * skip,
+                          indexing="ij")
+    verts = cam.deprojectz(jnp.stack([xs, ys], -1), d).reshape(-1, 3)
+    valid = ((d >= range_lo) & (d < range_hi))
+    vid = jnp.arange(h * w).reshape(h, w)
+    a = vid[:-1, :-1].reshape(-1)
+    b = vid[1:, :-1].reshape(-1)
+    c = vid[1:, 1:].reshape(-1)
+    e = vid[:-1, 1:].reshape(-1)
+    vflat = valid.reshape(-1)
+    z = verts[:, 2]
+
+    def ok(i, j):
+        return vflat[i] & vflat[j] & (jnp.abs(z[i] - z[j]) <= gaplimit)
+
+    t1 = jnp.stack([a, b, c], -1)
+    t2 = jnp.stack([c, e, a], -1)
+    m1 = ok(a, b) & ok(b, c) & ok(c, a)
+    m2 = ok(c, e) & ok(e, a) & ok(a, c)
+    tris = jnp.concatenate([t1, t2])
+    tmask = jnp.concatenate([m1, m2])
+    return verts, vflat, tris.astype(jnp.int32), tmask
+
+
+def image_clip(depth, cam: DCamera, plane, val):
+    """ImageClip (misc_image.h:454-460): set pixels under `plane` to val."""
+    h, w = depth.shape
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    pts = cam.deprojectz(jnp.stack([xs, ys], -1),
+                         depth.astype(jnp.float32) * cam.depth_scale)
+    d = pts @ plane[:3] + plane[3]
+    return jnp.where(d < 0, jnp.asarray(val, depth.dtype), depth)
+
+
+def plane_split_masks(points, plane, epsilon: float = 0.02):
+    """PlaneSplit (misc_image.h:462-473) as masks: (under, coplanar, over)."""
+    pd = points @ plane[:3] + plane[3]
+    return pd <= -epsilon, (pd > -epsilon) & (pd <= epsilon), pd > epsilon
+
+
+def mirror_points(points, plane):
+    """Mirror (misc_image.h:474-479): reflect points across `plane`."""
+    pd = points @ plane[:3] + plane[3]
+    return points - plane[:3][None, :] * (2.0 * pd)[:, None]
+
+
+def mirror_plane_split(points, mask, plane, epsilon: float = 0.02):
+    """MirrorPlaneSplit (misc_image.h:480-485): points under the mirror plane
+    are reflected back into the scene; returns (points, mask) with the
+    coplanar band removed — used for DS4 mirror rigs (SURVEY C13)."""
+    under, coplanar, over = plane_split_masks(points, plane, epsilon)
+    pts = jnp.where(under[:, None], mirror_points(points, plane), points)
+    return pts, mask & ~coplanar
+
+
 def compact_points(points, mask, budget: int):
     """Pack the valid points to the front, fixed budget. Points beyond the
     budget are dropped (the reference keeps all; the budget is the TPU

@@ -178,6 +178,69 @@ def reset_state(model) -> BodyState:
     return initial_state(model)
 
 
+def drive_pose_rows(state: BodyState, model, target_poses, params,
+                    maxtorque: float = 1.0):
+    """DrivePose (physmodel.h:368-374): angular drives toward the relative
+    orientations of `target_poses` (17,7). 3 rows per joint."""
+    from ..maths.quat import qconj, qmul
+    from ..physics.constraints import constrain_angular_drive
+
+    def per_joint(b0, b1):
+        target = qmul(qconj(target_poses[b0, 3:7]), target_poses[b1, 3:7])
+        return constrain_angular_drive(state, b0, b1, target, maxtorque,
+                                       params)
+
+    rows = jax.vmap(per_joint)(model.joint_rbi0, model.joint_rbi1)
+    return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rows)
+
+
+def drive_base_pose_rows(state: BodyState, model, params,
+                         maxtorque: float = 1.0):
+    """DriveBasePose (physmodel.h:375-381): drive joints to their frames."""
+    from ..physics.constraints import constrain_angular_drive
+
+    def per_joint(b0, b1, jf):
+        return constrain_angular_drive(state, b0, b1, jf, maxtorque, params)
+
+    rows = jax.vmap(per_joint)(model.joint_rbi0, model.joint_rbi1,
+                               model.joint_frame)
+    return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), rows)
+
+
+def generic_update(state: BodyState, model, params) -> BodyState:
+    """GenericUpdate (physmodel.h:335-341): joint-constraint-only step."""
+    lin = joint_linear_rows(state, model)
+    ang = joint_angular_rows(state, model, params)
+    bp = body_params(model)
+    return sanity_check(physics_update(state, bp, lin, ang, params), bp)
+
+
+def fix_orientations(state: BodyState, model, params) -> BodyState:
+    """FixOrientations (physmodel.h:394-403): snap child orientations back
+    inside their joint ranges by applying each violated range row's
+    correction directly."""
+    from ..maths.quat import qmul, qnormalize, quat_from_axis_angle
+    from ..physics.constraints import constrain_angular_range
+
+    pose = state.pose
+    for j in range(int(model.joint_rbi0.shape[0])):
+        b0 = int(model.joint_rbi0[j])
+        b1 = int(model.joint_rbi1[j])
+        st = state._replace(pose=pose)
+        rows = constrain_angular_range(
+            st, jnp.int32(b0), jnp.int32(b1), model.joint_frame[j],
+            model.joint_rangemin[j], model.joint_rangemax[j], params)
+        for a in range(6):
+            viol = ((rows.targetspin[a] * rows.maxtorque[a] > 0)
+                    | (rows.targetspin[a] * rows.mintorque[a] > 0))
+            viol = viol & rows.active[a]
+            dq = quat_from_axis_angle(
+                rows.axis[a], rows.targetspin[a] * params.deltaT)
+            newq = qnormalize(qmul(dq, pose[b1, 3:7]))
+            pose = pose.at[b1, 3:7].set(jnp.where(viol, newq, pose[b1, 3:7]))
+    return state._replace(pose=pose)
+
+
 def fix_positions(state: BodyState, model) -> BodyState:
     """physmodel.h:404-408 FixPositions: top-down snap of joint attachment
     points. Joints are ordered parent-before-child in the hand model, so a
