@@ -38,7 +38,8 @@ def main(argv=None):
                     choices=["colored", "sequential"])
     ap.add_argument("--pallas", action="store_true", default=None)
     ap.add_argument("--dump-png", default=None, help="dir for debug PNGs")
-    ap.add_argument("--start-at-gt", action="store_true", default=True)
+    ap.add_argument("--cold-start", action="store_true",
+                    help="start from the rest pose (tests CNN acquisition)")
     args = ap.parse_args(argv)
 
     from ..cnn.model import init_params, load_cnnb
@@ -67,7 +68,7 @@ def main(argv=None):
     T = args.tracks
     starts = (np.arange(T) * 131) % max(1, len(bank) - args.frames * args.stride)
     states = batched_tracker_state(model, T)
-    if args.start_at_gt:
+    if not args.cold_start:
         states = states._replace(body=states.body._replace(
             pose=jnp.asarray(bank[starts])))
 
