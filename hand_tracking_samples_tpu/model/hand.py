@@ -138,16 +138,13 @@ def _fit_point_cloud_colored(state, model, params, points, point_mask,
         cloud = scale_cloud_forces(cloud, scale)
         lin_blocks.append(pack_single_body_linear(cloud, B, cloud_slots))
     nailed = joint_linear_rows(state, model)
-    lin_blocks.append(pair_linear(nailed, schedule.joint_lin_groups,
-                                  schedule.joint_lin_onehots))
+    lin_blocks.append(pair_linear(nailed, schedule.joint_lin))
     if use_contacts:
         contacts = contact_rows(state, model, params)
-        lin_blocks.append(pair_linear(contacts, schedule.contact_groups,
-                                      schedule.contact_onehots))
+        lin_blocks.append(pair_linear(contacts, schedule.contact))
     ang_blocks = list(angular_pair_blocks)
     ja = joint_angular_rows(state, model, params, rangemin, rangemax)
-    ang_blocks.append(pair_angular(ja, schedule.joint_ang_groups,
-                                   schedule.joint_ang_onehots))
+    ang_blocks.append(pair_angular(ja, schedule.joint_ang))
     bp = body_params(model)
     new = physics_update_colored(state, bp, lin_blocks, ang_blocks, params,
                                  iterations=iterations,

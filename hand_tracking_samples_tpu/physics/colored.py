@@ -80,11 +80,17 @@ class SingleBodyLinear(NamedTuple):
 
 
 class StaticPairLinear(NamedTuple):
-    """Rows with static body pairs, plus a precomputed group schedule."""
+    """Rows with static body pairs, plus a precomputed group schedule.
+
+    The schedule is padded to uniform group width so a single lax.fori_loop
+    processes all groups of the class (one fused loop body instead of one
+    unrolled HLO block per group): gidx (G, W) row indices (pad -> 0 with
+    gmask False), onehot0/1 (G, B, W) constant application matrices."""
     rows: LinearRows                  # (R,) SoA; b0/b1 static values
-    group_idx: tuple                  # tuple of np index arrays (host)
-    onehot0: tuple                    # per group (B, W) constants
-    onehot1: tuple
+    gidx: jnp.ndarray                 # (G, W) int32
+    gmask: jnp.ndarray                # (G, W) bool
+    onehot0: jnp.ndarray              # (G, B, W)
+    onehot1: jnp.ndarray              # (G, B, W)
 
 
 class SingleBodyAngular(NamedTuple):
@@ -97,9 +103,10 @@ class SingleBodyAngular(NamedTuple):
 
 class StaticPairAngular(NamedTuple):
     rows: AngularRows
-    group_idx: tuple
-    onehot0: tuple
-    onehot1: tuple
+    gidx: jnp.ndarray
+    gmask: jnp.ndarray
+    onehot0: jnp.ndarray
+    onehot1: jnp.ndarray
 
 
 def pack_single_body_linear(rows: LinearRows, n_bodies: int,
@@ -128,32 +135,41 @@ def pack_single_body_linear(rows: LinearRows, n_bodies: int,
         active=scat(rows.active & ok, fill=False))
 
 
+def pad_groups(groups, b0, b1, n_bodies):
+    """Pad a group schedule to uniform width.  Returns (gidx (G,W) i32,
+    gmask (G,W) bool, onehot0 (G,B,W), onehot1 (G,B,W)) as jnp constants."""
+    G = len(groups)
+    W = max(len(g) for g in groups) if groups else 1
+    gidx = np.zeros((G, W), np.int32)
+    gmask = np.zeros((G, W), bool)
+    oh0 = np.zeros((G, n_bodies, W), np.float32)
+    oh1 = np.zeros((G, n_bodies, W), np.float32)
+    for gi, g in enumerate(groups):
+        for k, r in enumerate(g):
+            gidx[gi, k] = r
+            gmask[gi, k] = True
+            if b0[r] >= 0:
+                oh0[gi, b0[r], k] = 1.0
+            if b1[r] >= 0:
+                oh1[gi, b1[r], k] = 1.0
+    return (jnp.asarray(gidx), jnp.asarray(gmask), jnp.asarray(oh0),
+            jnp.asarray(oh1))
+
+
 def make_static_pair_linear(rows: LinearRows, b0: np.ndarray, b1: np.ndarray,
                             n_bodies: int) -> StaticPairLinear:
     """b0/b1 are the static host-side body indices of each row."""
     body_sets = [(int(a), int(c)) for a, c in zip(b0, b1)]
     groups = precedence_coloring(body_sets)
-    gi, o0, o1 = [], [], []
-    for g in groups:
-        idx = np.asarray(g, np.int32)
-        gi.append(idx)
-        oh0 = np.zeros((n_bodies, len(g)), np.float32)
-        oh1 = np.zeros((n_bodies, len(g)), np.float32)
-        for k, r in enumerate(g):
-            if b0[r] >= 0:
-                oh0[b0[r], k] = 1.0
-            if b1[r] >= 0:
-                oh1[b1[r], k] = 1.0
-        o0.append(jnp.asarray(oh0))
-        o1.append(jnp.asarray(oh1))
-    return StaticPairLinear(rows, tuple(gi), tuple(o0), tuple(o1))
+    return StaticPairLinear(rows, *pad_groups(groups, b0, b1, n_bodies))
 
 
 def make_static_pair_angular(rows: AngularRows, b0, b1,
                              n_bodies: int) -> StaticPairAngular:
     lin = make_static_pair_linear(
         LinearRows.empty(0), np.asarray(b0), np.asarray(b1), n_bodies)
-    return StaticPairAngular(rows, lin.group_idx, lin.onehot0, lin.onehot1)
+    return StaticPairAngular(rows, lin.gidx, lin.gmask, lin.onehot0,
+                             lin.onehot1)
 
 
 def pack_single_body_angular(rows: AngularRows, n_bodies: int,
@@ -301,17 +317,21 @@ def physics_update_colored(state: BodyState, bodies: BodyParams,
         r = blk.rows
         lin, ang = mom
         ts = jnp.minimum(ts0, r.targetspeednobias) if remove_bias else ts0
-        for idx, O0, O1 in zip(blk.group_idx, blk.onehot0, blk.onehot1):
-            i = jnp.asarray(idx)
+        G = blk.gidx.shape[0]
+
+        def group(g, carry):
+            lin, ang, isum = carry
+            i = blk.gidx[g]                          # (W,)
+            O0, O1 = blk.onehot0[g], blk.onehot1[g]  # (B, W)
+            w0 = (r.b0[i] >= 0)[:, None]
+            w1 = (r.b1[i] >= 0)[:, None]
             b0 = jnp.maximum(r.b0[i], 0)
             b1 = jnp.maximum(r.b1[i], 0)
             n = r.normal[i]
-            l0, a0 = lin[b0] * (r.b0[i] >= 0)[:, None], ang[b0]
-            l1, a1 = lin[b1] * (r.b1[i] >= 0)[:, None], ang[b1]
-            vn = (jnp.einsum("wk,wk->w", l1, n) * mi1[i]
-                  + jnp.einsum("wk,wk->w", a1 * (r.b1[i] >= 0)[:, None], K1[i])
-                  - jnp.einsum("wk,wk->w", l0, n) * mi0[i]
-                  - jnp.einsum("wk,wk->w", a0 * (r.b0[i] >= 0)[:, None], K0[i]))
+            vn = (jnp.einsum("wk,wk->w", lin[b1] * w1, n) * mi1[i]
+                  + jnp.einsum("wk,wk->w", ang[b1] * w1, K1[i])
+                  - jnp.einsum("wk,wk->w", lin[b0] * w0, n) * mi0[i]
+                  - jnp.einsum("wk,wk->w", ang[b0] * w0, K0[i]))
             impulse = (-ts[i] - vn) * dinv[i]
             master = isum[jnp.maximum(i + r.friction_master[i], 0)]
             f_hi = r.friction_coef[i] * master
@@ -319,12 +339,14 @@ def physics_update_colored(state: BodyState, bodies: BodyParams,
             lo = jnp.where(r.friction_master[i] != 0, -f_hi, r.fmin[i] * dt)
             impulse = jnp.minimum(impulse, hi - isum[i])
             impulse = jnp.maximum(impulse, lo - isum[i])
-            impulse = jnp.where(r.active[i], impulse, 0.0)
+            impulse = jnp.where(r.active[i] & blk.gmask[g], impulse, 0.0)
             dl = n * impulse[:, None]
             lin = lin - O0 @ dl + O1 @ dl
             ang = ang - O0 @ (J0[i] * impulse[:, None]) \
                       + O1 @ (J1[i] * impulse[:, None])
-            isum = isum.at[i].add(impulse)
+            return lin, ang, isum.at[i].add(jnp.where(blk.gmask[g], impulse, 0.0))
+
+        lin, ang, isum = jax.lax.fori_loop(0, G, group, (lin, ang, isum))
         return (lin, ang), isum
 
     def sb_ang_sweep(pre, mom, torq, remove_bias):
@@ -360,8 +382,12 @@ def physics_update_colored(state: BodyState, bodies: BodyParams,
             ts = jnp.where(r.targetspin == -FLT_MAX, r.targetspin, ts)
         else:
             ts = r.targetspin
-        for idx, O0, O1 in zip(blk.group_idx, blk.onehot0, blk.onehot1):
-            i = jnp.asarray(idx)
+        G = blk.gidx.shape[0]
+
+        def group(g, carry):
+            lin, ang, torq = carry
+            i = blk.gidx[g]
+            O0, O1 = blk.onehot0[g], blk.onehot1[g]
             b0 = jnp.maximum(r.b0[i], 0)
             b1 = jnp.maximum(r.b1[i], 0)
             cur = (jnp.einsum("wk,wk->w", ang[b1] * (r.b1[i] >= 0)[:, None], K1[i])
@@ -369,10 +395,13 @@ def physics_update_colored(state: BodyState, bodies: BodyParams,
             dtq = (ts[i] - cur) * stt[i]
             dtq = jnp.minimum(dtq, r.maxtorque[i] * dt - torq[i])
             dtq = jnp.maximum(dtq, r.mintorque[i] * dt - torq[i])
-            dtq = jnp.where(r.active[i] & (ts[i] != -FLT_MAX), dtq, 0.0)
+            dtq = jnp.where(r.active[i] & (ts[i] != -FLT_MAX) & blk.gmask[g],
+                            dtq, 0.0)
             da = r.axis[i] * dtq[:, None]
             ang = ang - O0 @ da + O1 @ da
-            torq = torq.at[i].add(dtq)
+            return lin, ang, torq.at[i].add(jnp.where(blk.gmask[g], dtq, 0.0))
+
+        lin, ang, torq = jax.lax.fori_loop(0, G, group, (lin, ang, torq))
         return (lin, ang), torq
 
     lin_sweeps = {"sb": sb_lin_sweep, "sp": sp_lin_sweep}

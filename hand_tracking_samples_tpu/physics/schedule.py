@@ -1,10 +1,13 @@
 """Static row-schedule assembly for the colored solver.
 
 Builds, once per model (host side), the precedence-preserving colorings and
-one-hot application matrices for every statically-structured row class:
+padded one-hot application tensors for every statically-structured row class:
 joint nailed rows, joint angular-range rows, contact rows, and the CNN
 drive/cone rows.  Dynamic single-body rows (cloud, boundary, rays) are packed
 per solve by physics/colored.pack_single_body_linear.
+
+Each class schedule is a 4-tuple (gidx (G,W) i32, gmask (G,W) bool,
+onehot0 (G,B,W), onehot1 (G,B,W)) consumed by one lax.fori_loop per class.
 """
 from __future__ import annotations
 
@@ -12,65 +15,31 @@ from typing import NamedTuple
 
 import numpy as np
 
-import jax.numpy as jnp
-
-from .colored import (StaticPairAngular, StaticPairLinear,
-                      make_static_pair_angular, make_static_pair_linear,
+from .colored import (StaticPairAngular, StaticPairLinear, pad_groups,
                       precedence_coloring)
 from .solver import AngularRows, LinearRows
 
 
 class HandSchedule(NamedTuple):
     """Host-computed static schedules, keyed by row class."""
-    joint_lin_groups: tuple      # groups over 3*n_joints nailed rows
-    joint_lin_onehots: tuple     # (onehot0 tuple, onehot1 tuple)
-    joint_ang_groups: tuple      # groups over 6*n_joints angular rows
-    joint_ang_onehots: tuple
-    contact_groups: tuple        # groups over 3*n_pairs contact rows
-    contact_onehots: tuple
-    apply_angles_groups: tuple   # groups over the 12 ApplyAngles rows
-    apply_angles_onehots: tuple
-    enh_cone_groups: tuple       # armdir cone (single row, world->0)
-    enh_cone_onehots: tuple
+    joint_lin: tuple      # 3*n_joints nailed rows
+    joint_ang: tuple      # 6*n_joints angular-range rows
+    contact: tuple        # 3*n_pairs contact rows
+    apply_angles: tuple   # the 12 ApplyAngles rows
+    enh_cone: tuple       # armdir cone (single row, world->0)
 
 
-def _schedule(b0, b1, n_bodies):
+def _exact(b0, b1, n_bodies):
     groups = precedence_coloring(list(zip(b0, b1)))
-    gi, o0, o1 = [], [], []
-    for g in groups:
-        gi.append(np.asarray(g, np.int32))
-        oh0 = np.zeros((n_bodies, len(g)), np.float32)
-        oh1 = np.zeros((n_bodies, len(g)), np.float32)
-        for k, r in enumerate(g):
-            if b0[r] >= 0:
-                oh0[b0[r], k] = 1.0
-            if b1[r] >= 0:
-                oh1[b1[r], k] = 1.0
-        o0.append(jnp.asarray(oh0))
-        o1.append(jnp.asarray(oh1))
-    return tuple(gi), (tuple(o0), tuple(o1))
+    return pad_groups(groups, b0, b1, n_bodies)
 
 
-def _jacobi_schedule(b0, b1, n_bodies, phases):
-    """Non-exact fast schedule: rows grouped by `phases` (list of index
-    lists), impulses within a phase applied simultaneously (Jacobi).  Used
-    for contact rows, which are sparse/rarely active on a hand — measured
-    trajectory deviation vs the exact schedule is well inside the parity
-    gate, for a 25x reduction in sequential depth."""
-    gi, o0, o1 = [], [], []
-    for g in phases:
-        idx = np.asarray(g, np.int32)
-        gi.append(idx)
-        oh0 = np.zeros((n_bodies, len(g)), np.float32)
-        oh1 = np.zeros((n_bodies, len(g)), np.float32)
-        for k, r in enumerate(g):
-            if b0[r] >= 0:
-                oh0[b0[r], k] = 1.0
-            if b1[r] >= 0:
-                oh1[b1[r], k] = 1.0
-        o0.append(jnp.asarray(oh0))
-        o1.append(jnp.asarray(oh1))
-    return tuple(gi), (tuple(o0), tuple(o1))
+def _jacobi(b0, b1, n_bodies, phases):
+    """Non-exact fast schedule: rows grouped by `phases`, impulses within a
+    phase applied simultaneously (Jacobi).  Used for contact rows, which are
+    sparse/rarely active on a hand — measured trajectory deviation is well
+    inside the parity gate, for a 25x reduction in sequential depth."""
+    return pad_groups(phases, b0, b1, n_bodies)
 
 
 def build_hand_schedule(model, contacts_mode: str = "exact") -> HandSchedule:
@@ -79,14 +48,9 @@ def build_hand_schedule(model, contacts_mode: str = "exact") -> HandSchedule:
     j1 = np.asarray(model.joint_rbi1)
 
     # nailed: 3 rows per joint, order = joint-major (physmodel.h:328-334)
-    nl0 = np.repeat(j0, 3)
-    nl1 = np.repeat(j1, 3)
-    jl_groups, jl_onehots = _schedule(nl0, nl1, B)
-
+    joint_lin = _exact(np.repeat(j0, 3), np.repeat(j1, 3), B)
     # angular ranges: 6 slots per joint (constraints.constrain_angular_range)
-    na0 = np.repeat(j0, 6)
-    na1 = np.repeat(j1, 6)
-    ja_groups, ja_onehots = _schedule(na0, na1, B)
+    joint_ang = _exact(np.repeat(j0, 6), np.repeat(j1, 6), B)
 
     # contacts: 3 rows (normal, fb, ft) per static pair
     pairs = np.asarray(model.collide_pairs)
@@ -94,12 +58,12 @@ def build_hand_schedule(model, contacts_mode: str = "exact") -> HandSchedule:
     c1 = np.repeat(pairs[:, 1], 3)
     if contacts_mode == "jacobi":
         npair = len(pairs)
-        phases = [list(range(0, 3 * npair, 3)),      # all normal rows
-                  list(range(1, 3 * npair, 3)),      # all binormal friction
-                  list(range(2, 3 * npair, 3))]      # all tangent friction
-        ct_groups, ct_onehots = _jacobi_schedule(c0, c1, B, phases)
+        phases = [list(range(0, 3 * npair, 3)),
+                  list(range(1, 3 * npair, 3)),
+                  list(range(2, 3 * npair, 3))]
+        contact = _jacobi(c0, c1, B, phases)
     else:
-        ct_groups, ct_onehots = _schedule(c0, c1, B)
+        contact = _exact(c0, c1, B)
 
     # ApplyAngles: 3 drive rows (world,1) + 9 cone rows, pairs per
     # tracker.runtime.apply_angles emission order
@@ -108,19 +72,17 @@ def build_hand_schedule(model, contacts_mode: str = "exact") -> HandSchedule:
     for finger in (1, 2, 3, 4):
         aa0 += [1, 1]
         aa1 += [3 + finger * 3, 2 + finger * 3]
-    ap_groups, ap_onehots = _schedule(np.asarray(aa0), np.asarray(aa1), B)
+    apply_angles = _exact(np.asarray(aa0), np.asarray(aa1), B)
 
     # enhancement armdir cone: single (world, 0) row
-    eh_groups, eh_onehots = _schedule(np.asarray([-1]), np.asarray([0]), B)
+    enh_cone = _exact(np.asarray([-1]), np.asarray([0]), B)
 
-    return HandSchedule(jl_groups, jl_onehots, ja_groups, ja_onehots,
-                        ct_groups, ct_onehots, ap_groups, ap_onehots,
-                        eh_groups, eh_onehots)
+    return HandSchedule(joint_lin, joint_ang, contact, apply_angles, enh_cone)
 
 
-def pair_linear(rows: LinearRows, groups, onehots) -> StaticPairLinear:
-    return StaticPairLinear(rows, groups, onehots[0], onehots[1])
+def pair_linear(rows: LinearRows, sched) -> StaticPairLinear:
+    return StaticPairLinear(rows, *sched)
 
 
-def pair_angular(rows: AngularRows, groups, onehots) -> StaticPairAngular:
-    return StaticPairAngular(rows, groups, onehots[0], onehots[1])
+def pair_angular(rows: AngularRows, sched) -> StaticPairAngular:
+    return StaticPairAngular(rows, *sched)

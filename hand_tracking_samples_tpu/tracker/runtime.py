@@ -259,9 +259,7 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
                               10000.0 if s < config.steps_palmangle else 0.0)
             if colored:
                 from ..physics.schedule import pair_angular
-                ang_blocks.append(pair_angular(
-                    aa, schedule.apply_angles_groups,
-                    schedule.apply_angles_onehots))
+                ang_blocks.append(pair_angular(aa, schedule.apply_angles))
             else:
                 angulars.append(aa)
         linears = []
@@ -305,8 +303,7 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
         enh, rmin, rmax = hand_model_enhancements(body, model, params, armdir)
         if colored:
             from ..physics.schedule import pair_angular
-            ang_blocks.append(pair_angular(enh, schedule.enh_cone_groups,
-                                           schedule.enh_cone_onehots))
+            ang_blocks.append(pair_angular(enh, schedule.enh_cone))
         else:
             angulars.append(enh)
 
