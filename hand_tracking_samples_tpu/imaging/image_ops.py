@@ -204,6 +204,25 @@ def mirror_plane_split(points, mask, plane, epsilon: float = 0.02):
     return pts, mask & ~coplanar
 
 
+def voxel_subsample(points, mask, voxel_size: float = 0.01,
+                    min_voxel_num: int = 1, n_buckets: int = 2048):
+    """voxelsubsample (physmodel.h:66-118): spatially-uniform downsample by
+    averaging points per voxel, via the same multiplicative hash into
+    n_buckets buckets.  TPU delta: hash collisions merge instead of linear-
+    probing (rare at hand point counts; the reference also merges on bucket
+    exhaustion).  Returns (points (n_buckets,3), mask)."""
+    coeff = jnp.asarray([54851, 11909, 24781], jnp.uint32)  # physmodel.h:83
+    ipos = jnp.floor(points / voxel_size).astype(jnp.int32).astype(jnp.uint32)
+    h = (ipos * coeff[None, :]).sum(axis=1) & jnp.uint32(n_buckets - 1)
+    h = h.astype(jnp.int32)
+    w = mask.astype(jnp.float32)
+    sums = jnp.zeros((n_buckets, 3), jnp.float32).at[h].add(points * w[:, None])
+    cnts = jnp.zeros((n_buckets,), jnp.float32).at[h].add(w)
+    out_mask = cnts >= min_voxel_num
+    out = sums / jnp.maximum(cnts, 1.0)[:, None]
+    return out, out_mask
+
+
 def compact_points(points, mask, budget: int):
     """Pack the valid points to the front, fixed budget. Points beyond the
     budget are dropped (the reference keeps all; the budget is the TPU

@@ -419,8 +419,15 @@ def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
     if not colored:
         schedule = None
     pts_all, mask_all = point_cloud(depth, cam, 0.1, config.drangey)
-    sub = mask_all & ((jnp.cumsum(mask_all) - 1) % config.subsample_fraction == 0)
-    points, mask = compact_points(pts_all, sub, config.point_budget)
+    if config.subsample_voxel:
+        from ..imaging.image_ops import voxel_subsample
+        vp, vm = voxel_subsample(pts_all, mask_all, config.subsample_size,
+                                 config.subsample_fraction)
+        points, mask = compact_points(vp, vm, config.point_budget)
+    else:
+        sub = mask_all & ((jnp.cumsum(mask_all) - 1)
+                          % config.subsample_fraction == 0)
+        points, mask = compact_points(pts_all, sub, config.point_budget)
     npts = mask.sum()
 
     dbg = None
