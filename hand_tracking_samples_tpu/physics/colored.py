@@ -124,8 +124,11 @@ def pack_single_body_linear(rows: LinearRows, n_bodies: int,
     def scat(x, fill=0.0):
         shape = (slots, n_bodies) + x.shape[1:]
         out = jnp.full(shape, fill, x.dtype)
-        return out.at[c, b].set(jnp.where(
-            ok.reshape((-1,) + (1,) * (x.ndim - 1)), x, fill), mode="drop")
+        # destination slots are unique per row (rank within body) — without
+        # the hint XLA serialises the scatter
+        return out.at[c, b].set(
+            jnp.where(ok.reshape((-1,) + (1,) * (x.ndim - 1)), x, fill),
+            mode="drop", unique_indices=True)
 
     return SingleBodyLinear(
         normal=scat(rows.normal), r1=scat(rows.r1),
@@ -185,8 +188,9 @@ def pack_single_body_angular(rows: AngularRows, n_bodies: int,
     def scat(x, fill=0.0):
         shape = (slots, n_bodies) + x.shape[1:]
         out = jnp.full(shape, fill, x.dtype)
-        return out.at[c, b].set(jnp.where(
-            ok.reshape((-1,) + (1,) * (x.ndim - 1)), x, fill), mode="drop")
+        return out.at[c, b].set(
+            jnp.where(ok.reshape((-1,) + (1,) * (x.ndim - 1)), x, fill),
+            mode="drop", unique_indices=True)
 
     return SingleBodyAngular(
         axis=scat(rows.axis), targetspin=scat(rows.targetspin),
