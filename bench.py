@@ -33,8 +33,8 @@ MODEL_JSON = os.environ.get("HAND_MODEL_JSON",
                             "/root/reference/assets/model_hand.json")
 ANIMBANK = os.environ.get("ANIMBANK", "/root/reference/assets/animbank.pose")
 
-N_TRACKS = int(os.environ.get("BENCH_TRACKS", "256"))
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))
+N_TRACKS = int(os.environ.get("BENCH_TRACKS", "512"))
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "8"))
 POINT_BUDGET = int(os.environ.get("BENCH_POINT_BUDGET", "1024"))
 SOLVER = os.environ.get("BENCH_SOLVER", "colored")
 CLOUD_ROWS = int(os.environ.get("BENCH_CLOUD_ROWS", "128"))

@@ -237,9 +237,12 @@ def scale_model(m: HandModelArrays, s: float) -> HandModelArrays:
 
 def load_hand_model(json_path: str, cache_dir: str | None = None,
                     **kw) -> HandModelArrays:
-    """Bake with on-disk caching (bake takes a few seconds of host time)."""
+    """Bake with on-disk caching (bake takes a few seconds of host time).
+    The cache lives under ~/.cache by default — never next to the source
+    asset (which may be read-only)."""
     if cache_dir is None:
-        cache_dir = os.path.dirname(os.path.abspath(json_path))
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                                 "hand_tracking_samples_tpu")
     key = hashlib.sha1(open(json_path, "rb").read() +
                        repr(sorted(kw.items())).encode()).hexdigest()[:16]
     cache = os.path.join(cache_dir, f"hand_model_baked_{key}.npz")
