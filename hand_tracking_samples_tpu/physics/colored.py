@@ -121,21 +121,23 @@ def pack_single_body_linear(rows: LinearRows, n_bodies: int,
     ok = act & (rank < slots)
     c = jnp.where(ok, rank, slots)  # overflow slot dropped via mode="drop"
 
-    def scat(x, fill=0.0):
-        shape = (slots, n_bodies) + x.shape[1:]
-        out = jnp.full(shape, fill, x.dtype)
-        # destination slots are unique per row (rank within body) — without
-        # the hint XLA serialises the scatter
-        return out.at[c, b].set(
-            jnp.where(ok.reshape((-1,) + (1,) * (x.ndim - 1)), x, fill),
-            mode="drop", unique_indices=True)
+    # one scatter for all 11 row scalars (7 scatters of the same indices
+    # would each pay the gather/scatter fixed costs)
+    flat = jnp.concatenate([
+        rows.normal, rows.r1,
+        rows.targetdist[:, None], rows.targetspeednobias[:, None],
+        rows.fmin[:, None], rows.fmax[:, None],
+        (rows.active & ok).astype(jnp.float32)[:, None],
+    ], axis=1)                                          # (R, 11)
+    flat = jnp.where(ok[:, None], flat, 0.0)
+    out = jnp.zeros((slots, n_bodies, 11), flat.dtype).at[c, b].set(
+        flat, mode="drop", unique_indices=True)
 
     return SingleBodyLinear(
-        normal=scat(rows.normal), r1=scat(rows.r1),
-        targetdist=scat(rows.targetdist),
-        targetspeednobias=scat(rows.targetspeednobias),
-        fmin=scat(rows.fmin), fmax=scat(rows.fmax),
-        active=scat(rows.active & ok, fill=False))
+        normal=out[..., 0:3], r1=out[..., 3:6],
+        targetdist=out[..., 6], targetspeednobias=out[..., 7],
+        fmin=out[..., 8], fmax=out[..., 9],
+        active=out[..., 10] > 0.5)
 
 
 def pad_groups(groups, b0, b1, n_bodies):
