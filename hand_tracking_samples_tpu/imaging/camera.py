@@ -51,6 +51,32 @@ class DCamera(NamedTuple):
         """v (...,3) -> (...,2) pixel coordinates."""
         return v[..., :2] / v[..., 2:3] * self.focal + self.principal
 
+    def fov(self):
+        """misc_image.h:53 (degrees not applied; radians like the reference's
+        atan2 sum), with the DS4 half-pixel convention."""
+        import jax.numpy as jnp
+        w, h = self.dim
+        fx = (jnp.arctan2(self.principal[0] + 0.5, self.focal[0])
+              + jnp.arctan2(w - self.principal[0] - 0.5, self.focal[0]))
+        fy = (jnp.arctan2(self.principal[1] + 0.5, self.focal[1])
+              + jnp.arctan2(h - self.principal[1] - 0.5, self.focal[1]))
+        return jnp.stack([fx, fy])
+
+    def deproject_extents(self):
+        """misc_image.h:52: xy corners of the z=1 plane."""
+        import jax.numpy as jnp
+        ul = self.deprojectz(jnp.zeros(2), jnp.float32(1.0))[:2]
+        lr = self.deprojectz(jnp.asarray(self.dim, jnp.float32),
+                             jnp.float32(1.0))[:2]
+        return jnp.stack([ul, lr])
+
+    def crop(self, offset, dim):
+        """camcrop (misc_image.h:59)."""
+        import jax.numpy as jnp
+        return self._replace(dim=(int(dim[0]), int(dim[1])),
+                             principal=self.principal
+                             - jnp.asarray(offset, jnp.float32))
+
     def sub(self, s: int):
         """camsub (misc_image.h:60): dims/focal/principal divided by s."""
         return self._replace(dim=(self.dim[0] // s, self.dim[1] // s),

@@ -97,6 +97,24 @@ def threshold(depth, lo=None, hi=None):
     return jnp.where(m, jnp.uint8(255), jnp.uint8(0))
 
 
+def sample(src, src_cam: DCamera, dst_cam: DCamera, background=0):
+    """Sample (misc_image.h:143-150): plain point-resample under a new camera
+    (no depth-plane correction) — used for IR/greyscale channels."""
+    W, H = dst_cam.dim
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    from ..maths.pose import pose_apply
+    rays = dst_cam.deprojectz(jnp.stack([xs, ys], -1), jnp.ones((H, W)))
+    pp = src_cam.projectz(pose_apply(dst_cam.pose, rays))
+    ppi = pp.astype(jnp.int32)
+    sw, sh = src_cam.dim
+    inside = ((ppi[..., 0] >= 0) & (ppi[..., 0] <= sw - 1)
+              & (ppi[..., 1] >= 0) & (ppi[..., 1] <= sh - 1))
+    ppc = jnp.clip(ppi, 0, jnp.asarray([sw - 1, sh - 1]))
+    return jnp.where(inside, src[ppc[..., 1], ppc[..., 0]],
+                     jnp.asarray(background, src.dtype))
+
+
 def sample_d(src, src_cam: DCamera, dst_cam: DCamera, background):
     """SampleD (misc_image.h:154-162): point-resample a depth image under a
     new camera, correcting sampled depth to the destination image plane."""
