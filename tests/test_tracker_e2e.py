@@ -73,3 +73,34 @@ def test_full_tracker_smoke(hand_model, bank):
     assert np.isfinite(pose).all()
     # model should be in front of the camera in the scene's depth range
     assert (pose[:, 2] > 0.05).all() and (pose[:, 2] < 1.0).all()
+
+
+def test_full_pipeline_trained_cnn_golden(golden, hand_model, bank):
+    """Full CNN-guided pipeline vs the C++ reference running the SAME trained
+    weights on the same synthetic frames (synctrack_trained fixture): first
+    frames match within a couple of mm; after the accept/reject branches
+    amplify fp differences chaotically, both must stay in the same quality
+    band vs ground truth."""
+    import os
+    if not os.path.exists("assets/handposedd_synth.cnnb"):
+        pytest.skip("trained weights not present")
+    cam = synth_camera()
+    cnn_params = load_cnnb("assets/handposedd_synth.cnnb")
+    config = TrackerConfig(point_budget=2048)
+    params = physics_params(config)
+    state = make_tracker_state(hand_model)
+    step = jax.jit(lambda s, d: update(s, hand_model, cnn_params, d, cam,
+                                       config, params)[0])
+    fd = jax.jit(lambda p: fake_depth(p, hand_model, cam))
+    refp = np.array(golden["synctrack_trained_poses"], np.float32).reshape(12, 17, 7)
+    referr = np.array(golden["synctrack_trained_joint_err"])
+    my_err = []
+    for f in range(6):
+        gt = jnp.asarray(bank[(f * 7) % len(bank)])
+        state = step(state, fd(gt))
+        mine = np.array(state.body.pose)
+        my_err.append(np.linalg.norm(mine[:, :3] - np.array(gt)[:, :3],
+                                     axis=1).mean())
+        if f < 2:  # pre-chaos: trajectories must agree
+            assert np.abs(mine[:, :3] - refp[f][:, :3]).max() < 5e-3, f
+    assert np.mean(my_err) < 1.5 * referr[:6].mean() + 2e-3

@@ -430,6 +430,45 @@ int main(int argc, char **argv) {
         dump_pose_array("synctrack_poses", all_poses);
         dump_floats("synctrack_fit_error", track_err.data(), track_err.size());
 
+        // same synchronous tracker but with trained weights (argv[4]), to
+        // exercise the full CNN-guided path against a real net
+        if (argc > 4) {
+            HandTracker htk2;
+            htk2.cnn.loadb(argv[4]);
+            std::vector<Pose> poses2;
+            std::vector<float> errs2;
+            for (int f = 0; f < NFRAMES; f++) {
+                fakehand.SetPose(bank[(f * 7) % bank.size()]);
+                auto dimage = fake_depth(fakehand);
+                auto pose = htk2.update_cnn_model(dimage);
+                htk2.handmodel.SetPose(pose);
+                auto points = takesubsample(PointCloud(dimage, {0.1f, htk2.drangey}),
+                                            htk2.subsample_fraction);
+                for (int i = 0; !htk2.angles_only && i < htk2.mainthreadpasses; i++) {
+                    std::vector<LimitLinear> linears;
+                    std::vector<LimitAngular> angulars;
+                    HandModelEnhancements(htk2.handmodel, angulars, false,
+                                          float3(0, 0, 0), float3(0, 0, 0), 0);
+                    if (points.size() > htk2.min_point_num && htk2.boundary_planes) {
+                        std::vector<float3> outdirs = {float3(-1, -0.25f, 0), float3(-1, -1, 0),
+                                                       float3(0, -1, 0), float3(1, -1, 0), float3(1, -0.25f, 0)};
+                        Append(linears, cloud_chamber(htk2.handmodel, points, outdirs,
+                                                      {0, 0, 0}, {0, 0, 1}, 10.0f));
+                    }
+                    htk2.handmodel.FitPointCloud(points, linears, angulars, htk2.microforce);
+                }
+                if (points.size() < htk2.min_point_num) htk2.initializing = 50;
+                for (auto &p : htk2.handmodel.GetPose()) poses2.push_back(p);
+                float je = 0;
+                for (int b = 0; b < 17; b++)
+                    je += length(htk2.handmodel.rigidbodies[b].position
+                                 - fakehand.rigidbodies[b].position);
+                errs2.push_back(je / 17.0f);
+            }
+            dump_pose_array("synctrack_trained_poses", poses2);
+            dump_floats("synctrack_trained_joint_err", errs2.data(), errs2.size());
+        }
+
         // dynamics-only tracking: start at ground truth, no CNN, 1-frame steps
         {
             PhysModel tracked = LoadHandModel();
