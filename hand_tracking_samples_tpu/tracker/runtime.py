@@ -478,7 +478,12 @@ def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
 # ---------------------------------------------------------------------------
 
 def slowfit(state: TrackerState, model, points, mask, config: TrackerConfig,
-            params, hold: int = 0, refpose=None, steps: int = 6):
+            params, hold: int = 0, refpose=None, steps: int = 6,
+            crays=None, select_bone: int | None = None, spoint=None,
+            rbpoint=None):
+    """handtrack.h:786-821, incl. the annotation-fixer extras: optional CNN
+    landmark rays (`crays` (8,4)) and a dragged-bone nail (`select_bone`
+    pulled so local `rbpoint` meets world `spoint`)."""
     body = state.body
     contacts_fn = (lambda s: contact_rows(s, model, params)) \
         if config.physics_use_collision else None
@@ -486,6 +491,20 @@ def slowfit(state: TrackerState, model, points, mask, config: TrackerConfig,
         enh, rmin, rmax = hand_model_enhancements(body, model, params,
                                                   armdir=None)
         angulars = [enh]
+        ray_rows = []
+        if crays is not None and st < 5:  # handtrack.h:802-807
+            for i in range(8):
+                q = quat_from_to(jnp.asarray([0.0, 0, 1]), crays[i, :3])
+                bone = int(FEATURE_BONES[i])
+                offset = jnp.asarray(FEATURE_OFFSETS[i])
+                for axis in (qxdir(q), qydir(q)):
+                    ray_rows.append(constrain_along_direction_deadzone(
+                        body, jnp.int32(-1), jnp.zeros(3), jnp.int32(bone),
+                        offset, axis, 0.01, -100000.0, 100000.0))
+        if select_bone is not None:  # handtrack.h:809-810
+            from ..physics.constraints import constrain_position_nailed
+            ray_rows.append(constrain_position_nailed(
+                body, jnp.int32(-1), spoint, jnp.int32(select_bone), rbpoint))
         if hold and refpose is not None:
             # ignore wrist->palm joint (hold==1 skips joints 0..3's? the
             # reference filter: (&j != &joints[0] && hold==2) || (&j > &joints[3])
@@ -498,14 +517,15 @@ def slowfit(state: TrackerState, model, points, mask, config: TrackerConfig,
                         int(model.joint_rbi1[j]), params))
             if hold_rows:
                 angulars.append(concat_angular(*hold_rows))
-        linears = None
+        linears = ray_rows
         if st < steps - 1:
             cloud = cloud_constraint_rows(body, model, points, mask,
                                           use_kernel=config.use_pallas)
             decay = config.microforce * (1.0 * (steps - st) / steps)
             scale = decay * jnp.where(
                 cloud.b1 == 0, 0.1 * float(st < steps - 2), 1.0)
-            linears = scale_cloud_forces(cloud, scale)
+            linears.append(scale_cloud_forces(cloud, scale))
+        linears = concat_linear(*linears) if linears else None
         body = fit_point_cloud(
             body, model, params,
             points=jnp.zeros((0, 3), jnp.float32),
