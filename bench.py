@@ -21,6 +21,8 @@ import jax.tree_util as jtu
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hand_tracking_samples_tpu.assets_paths import (DEFAULT_ANIMBANK,
+                                                     DEFAULT_MODEL_JSON)
 from hand_tracking_samples_tpu.data.animbank import load_animbank
 from hand_tracking_samples_tpu.data.synth import fake_depth, synth_camera
 from hand_tracking_samples_tpu.model.bake import load_hand_model
@@ -30,8 +32,8 @@ from hand_tracking_samples_tpu.tracker.config import TrackerConfig
 from hand_tracking_samples_tpu.tracker.runtime import physics_params
 
 MODEL_JSON = os.environ.get("HAND_MODEL_JSON",
-                            "/root/reference/assets/model_hand.json")
-ANIMBANK = os.environ.get("ANIMBANK", "/root/reference/assets/animbank.pose")
+                            DEFAULT_MODEL_JSON)
+ANIMBANK = os.environ.get("ANIMBANK", DEFAULT_ANIMBANK)
 
 N_TRACKS = int(os.environ.get("BENCH_TRACKS", "512"))
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "8"))

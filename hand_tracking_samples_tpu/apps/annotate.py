@@ -12,6 +12,8 @@ out in the dataset format.
 from __future__ import annotations
 
 import argparse
+
+from ..assets_paths import DEFAULT_ANIMBANK, DEFAULT_MODEL_JSON
 import sys
 
 import numpy as np
@@ -26,7 +28,7 @@ def main(argv=None):
     select_platform()
     ap = argparse.ArgumentParser()
     ap.add_argument("recordings", nargs="+")
-    ap.add_argument("--model", default="/root/reference/assets/model_hand.json")
+    ap.add_argument("--model", default=DEFAULT_MODEL_JSON)
     ap.add_argument("--cnnb", default=None)
     ap.add_argument("--out", default=None, help="basename for refined output")
     ap.add_argument("--hold", type=int, default=0, choices=[0, 1, 2],

@@ -9,6 +9,8 @@ the pure load->process->write throughput-mode app.
 from __future__ import annotations
 
 import argparse
+
+from ..assets_paths import DEFAULT_ANIMBANK, DEFAULT_MODEL_JSON
 import os
 import sys
 
@@ -24,7 +26,7 @@ def main(argv=None):
     select_platform()
     ap = argparse.ArgumentParser()
     ap.add_argument("recordings", nargs="+")
-    ap.add_argument("--model", default="/root/reference/assets/model_hand.json")
+    ap.add_argument("--model", default=DEFAULT_MODEL_JSON)
     ap.add_argument("--out", default="tmp")
     ap.add_argument("--drange", type=float, nargs=2, default=(0.20, 0.70))
     ap.add_argument("--max-frames", type=int, default=0)

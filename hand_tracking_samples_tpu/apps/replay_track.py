@@ -12,6 +12,8 @@ ground-truth poses.
 from __future__ import annotations
 
 import argparse
+
+from ..assets_paths import DEFAULT_ANIMBANK, DEFAULT_MODEL_JSON
 import os
 import sys
 import time
@@ -28,7 +30,7 @@ def main(argv=None):
     select_platform()
     ap = argparse.ArgumentParser()
     ap.add_argument("recordings", nargs="+", help=".rs files or basenames")
-    ap.add_argument("--model", default="/root/reference/assets/model_hand.json")
+    ap.add_argument("--model", default=DEFAULT_MODEL_JSON)
     ap.add_argument("--cnnb", default=None)
     ap.add_argument("--out", default=None, help="write tracked poses (.pose)")
     ap.add_argument("--dynamics-only", action="store_true")

@@ -11,6 +11,8 @@ batched over independent tracks.
 from __future__ import annotations
 
 import argparse
+
+from ..assets_paths import DEFAULT_ANIMBANK, DEFAULT_MODEL_JSON
 import os
 import sys
 import time
@@ -26,8 +28,8 @@ def main(argv=None):
     from ..utils.platform import select_platform
     select_platform()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="/root/reference/assets/model_hand.json")
-    ap.add_argument("--animbank", default="/root/reference/assets/animbank.pose")
+    ap.add_argument("--model", default=DEFAULT_MODEL_JSON)
+    ap.add_argument("--animbank", default=DEFAULT_ANIMBANK)
     ap.add_argument("--cnnb", default=None, help=".cnnb weights (optional)")
     ap.add_argument("--frames", type=int, default=32)
     ap.add_argument("--tracks", type=int, default=4)

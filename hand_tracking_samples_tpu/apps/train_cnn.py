@@ -11,6 +11,8 @@ CPU core ("hours... overnight"); here steps are minibatched onto the MXU.
 from __future__ import annotations
 
 import argparse
+
+from ..assets_paths import DEFAULT_ANIMBANK, DEFAULT_MODEL_JSON
 import sys
 import time
 
@@ -26,8 +28,8 @@ def main(argv=None):
     select_platform()
     ap = argparse.ArgumentParser()
     ap.add_argument("recordings", nargs="*", help=".rs recordings to train on")
-    ap.add_argument("--model", default="/root/reference/assets/model_hand.json")
-    ap.add_argument("--animbank", default="/root/reference/assets/animbank.pose")
+    ap.add_argument("--model", default=DEFAULT_MODEL_JSON)
+    ap.add_argument("--animbank", default=DEFAULT_ANIMBANK)
     ap.add_argument("--synthetic", type=int, default=0,
                     help="add N synthetic animbank frames to the training set")
     ap.add_argument("--init-cnnb", default=None, help="warm-start weights")

@@ -17,7 +17,10 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
-MODEL_JSON = "/root/reference/assets/model_hand.json"
+from hand_tracking_samples_tpu.assets_paths import (DEFAULT_ANIMBANK,  # noqa: E402
+                                                     DEFAULT_MODEL_JSON)
+
+MODEL_JSON = DEFAULT_MODEL_JSON
 
 
 @pytest.fixture(scope="session")

@@ -69,7 +69,7 @@ def test_filters():
 
 def test_animbank_loader():
     from hand_tracking_samples_tpu.data.animbank import load_animbank
-    bank = load_animbank("/root/reference/assets/animbank.pose")
+    bank = load_animbank(__import__("hand_tracking_samples_tpu.assets_paths", fromlist=["DEFAULT_ANIMBANK"]).DEFAULT_ANIMBANK)
     assert bank.shape[1:] == (17, 7)
     assert bank.shape[0] > 2000
     # quaternions are normalised poses

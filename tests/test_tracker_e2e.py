@@ -17,7 +17,9 @@ from hand_tracking_samples_tpu.tracker.runtime import (make_tracker_state,
                                                        physics_params, update)
 from tests.conftest import FIXTURES
 
-ANIMBANK = "/root/reference/assets/animbank.pose"
+from hand_tracking_samples_tpu.assets_paths import DEFAULT_ANIMBANK
+
+ANIMBANK = DEFAULT_ANIMBANK
 
 
 @pytest.fixture(scope="module")

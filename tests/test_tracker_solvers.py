@@ -14,7 +14,7 @@ from tests.conftest import quat_err
 
 
 def test_update_colored_matches_sequential(hand_model):
-    bank = load_animbank("/root/reference/assets/animbank.pose")
+    bank = load_animbank(__import__("hand_tracking_samples_tpu.assets_paths", fromlist=["DEFAULT_ANIMBANK"]).DEFAULT_ANIMBANK)
     cam = synth_camera()
     base = TrackerConfig(point_budget=2048, cnn_every_frame=False,
                          cloud_rows_per_body=512)  # no row drop -> exact
