@@ -55,7 +55,9 @@ def correspondence_reductions(local_h, planes, d0):
     Returns hull_val, pidx, t_enter, t_exit, miss — all (B, N)."""
     B, K, N = local_h.shape
     P = planes.shape[1]
-    assert N % N_BLK == 0, N
+    assert N % N_BLK == 0, (
+        f"point budget {N} must be a multiple of {N_BLK} when use_pallas=True "
+        f"(TrackerConfig.point_budget)")
     grid = (N // N_BLK,)
     out_shape = [
         jax.ShapeDtypeStruct((B, N), jnp.float32),
