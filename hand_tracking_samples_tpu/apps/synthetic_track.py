@@ -67,6 +67,8 @@ def main(argv=None):
         cnn_params = (load_cnnb(args.cnnb) if args.cnnb
                       else init_params(jax.random.PRNGKey(0)))
 
+    if args.tracks < 1 or args.frames < 1:
+        ap.error("--tracks and --frames must be >= 1")
     T = args.tracks
     starts = (np.arange(T) * 131) % max(1, len(bank) - args.frames * args.stride)
     states = batched_tracker_state(model, T)

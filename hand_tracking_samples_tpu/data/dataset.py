@@ -86,6 +86,10 @@ class Dataset:
 
 def load_dataset(bname: str, n_bones: int = 17) -> Dataset:
     """load_dataset (dataset.h:109-163) as one batched read."""
+    if not os.path.exists(bname + ".json"):
+        raise FileNotFoundError(
+            f"no recording '{bname}': expected {bname}.json/.rs "
+            f"(pass the basename or the .rs path)")
     with open(bname + ".json") as f:
         info = DatasetInfo.from_json_dict(json.load(f))
     w, h = info.dims
