@@ -46,10 +46,16 @@ def main():
     model = jtu.tree_map(jnp.asarray, load_hand_model(MODEL_JSON))
     bank = load_animbank(ANIMBANK)
     cam = synth_camera()
-    config = TrackerConfig(point_budget=POINT_BUDGET, cnn_every_frame=False,
+    full = os.environ.get("BENCH_MODE", "dynamics") == "full"
+    config = TrackerConfig(point_budget=POINT_BUDGET, cnn_every_frame=full,
                            solver=SOLVER, cloud_rows_per_body=CLOUD_ROWS,
                            use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
                            contacts_mode=os.environ.get("BENCH_CONTACTS", "exact"))
+    cnn_params = None
+    if full:
+        from hand_tracking_samples_tpu.assets_paths import DEFAULT_CNNB
+        from hand_tracking_samples_tpu.cnn.model import load_cnnb
+        cnn_params = load_cnnb(DEFAULT_CNNB)
     params = physics_params(config)
 
     # synthesize depth streams: each track replays the animbank from its own
@@ -70,8 +76,8 @@ def main():
     # start at each track's ground-truth first pose
     states = states._replace(body=states.body._replace(pose=poses[0]))
 
-    run = jax.jit(lambda s, d: track_sequences(s, model, None, d, cam, config,
-                                               params))
+    run = jax.jit(lambda s, d: track_sequences(s, model, cnn_params, d, cam,
+                                               config, params))
     t0 = time.time()
     out_states, out_poses = run(states, depths)
     jax.block_until_ready(out_poses)
@@ -94,7 +100,8 @@ def main():
         f"run={dt:.3f}s mean_joint_err={err*1000:.2f}mm devices={jax.devices()}\n")
 
     print(json.dumps({
-        "metric": "synthetic_dynamics_tracked_fps_per_chip",
+        "metric": ("synthetic_full_pipeline_tracked_fps_per_chip" if full
+                   else "synthetic_dynamics_tracked_fps_per_chip"),
         "value": round(fps, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 60.0, 2),
