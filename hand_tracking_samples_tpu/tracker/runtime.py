@@ -206,12 +206,14 @@ def unibody_fit(body: BodyState, model, params, points, point_mask,
                 camera_position, unibody_force: float = 0.1,
                 iterations: int = 16, iterations_post: int = 4,
                 use_kernel: bool = False) -> BodyState:
-    # takesubsample(pts) inside UnibodyFit (handtrack.h:453): stride-4 mask
-    idx = jnp.arange(points.shape[0])
+    # takesubsample(pts) inside UnibodyFit (handtrack.h:453): stride-4 mask,
+    # compacted to its exact maximum count so the solve loop stays short
+    from ..imaging.image_ops import compact_points
     vsub = point_mask & ((jnp.cumsum(point_mask) - 1) % 4 == 0)
-    rows = cloud_constraint_rows(body, model, points, vsub,
+    upts, umask = compact_points(points, vsub, max(points.shape[0] // 4, 64))
+    rows = cloud_constraint_rows(body, model, upts, umask,
                                  origin=camera_position,
-                                 use_kernel=use_kernel)
+                                 use_kernel=False)
     uni_pose = jnp.concatenate([body.pose[1, :3], body.pose[1, 3:7]])
     # retarget rows to the unibody (handtrack.h:457-461)
     bpose = body.pose[rows.b1]
@@ -228,8 +230,13 @@ def unibody_fit(body: BodyState, model, params, points, point_mask,
         massinv=jnp.ones(1), tensorinv_massless=_UNIBODY_TINV[None],
         damping=jnp.zeros(1), gravscale=jnp.ones(1),
         start_pose=uni_pose[None])
-    out = physics_update(ustate, ubody, rows, AngularRows.empty(0), params,
-                         iterations=iterations, iterations_post=iterations_post)
+    # all rows act on the one body, so the single-body colored block keeps
+    # the exact sequential order with 4x fewer loop steps
+    from ..physics.colored import pack_single_body_linear, physics_update_colored
+    blk = pack_single_body_linear(rows, 1, rows.b0.shape[0])
+    out = physics_update_colored(ustate, ubody, [blk], [], params,
+                                 iterations=iterations,
+                                 iterations_post=iterations_post)
     dp = pose_mul(out.pose[0], pose_inverse(body.pose[1]))
     pose = jax.vmap(lambda p: pose_mul(dp, p))(body.pose)
     return sanity_check(body._replace(pose=pose), body_params(model))
@@ -285,9 +292,14 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
                     concat_linear(*linears), body.pose.shape[0], 4))
                 linears = []
         if config.steps_cloudstart <= s and not config.angles_only:
-            # takesubsample(vpts) again (handtrack.h:679): stride-4 of valid
+            # takesubsample(vpts) again (handtrack.h:679): stride-4 of valid,
+            # compacted to the exact maximum so correspondence runs on a
+            # quarter of the slots (loses nothing)
+            from ..imaging.image_ops import compact_points
             vsub = point_mask & ((jnp.cumsum(point_mask) - 1) % 4 == 0)
-            cloud = cloud_constraint_rows(body, model, points, vsub,
+            mpts, mmask = compact_points(
+                points, vsub, max(points.shape[0] // 4, 512))
+            cloud = cloud_constraint_rows(body, model, mpts, mmask,
                                           origin=camera_pose[:3],
                                           use_kernel=config.use_pallas)
             scale = cloudforce * jnp.where(cloud.b1 == 0, 0.1, 1.0)
