@@ -39,7 +39,7 @@ def main(argv=None):
     from ..maths.quat import qrot
     from ..model.bake import FEATURE_BONES, FEATURE_OFFSETS, load_hand_model
     from ..segment.handsegment import cnn_input_from_segment, hand_segment_vr
-    from ..utils.viz import RAINBOW, draw_points, to_grayscale_rgb, write_png
+    from ..utils.viz import draw_points, to_grayscale_rgb, write_png
 
     model = jtu.tree_map(jnp.asarray, load_hand_model(args.model))
     os.makedirs(args.out, exist_ok=True)

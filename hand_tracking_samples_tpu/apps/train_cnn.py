@@ -32,6 +32,8 @@ def main(argv=None):
     ap.add_argument("--animbank", default=DEFAULT_ANIMBANK)
     ap.add_argument("--synthetic", type=int, default=0,
                     help="add N synthetic animbank frames to the training set")
+    ap.add_argument("--augment", action="store_true",
+                    help="random global rigid transforms on synthetic poses")
     ap.add_argument("--init-cnnb", default=None, help="warm-start weights")
     ap.add_argument("--out", default="handposedd.cnnb")
     ap.add_argument("--steps", type=int, default=1000)
@@ -59,7 +61,7 @@ def main(argv=None):
         bank = load_animbank(args.animbank)
         ids = (np.arange(args.synthetic) * 613) % len(bank)
         print(f"rendering {args.synthetic} synthetic frames")
-        sets.append(synthetic_training_set(model, bank, ids))
+        sets.append(synthetic_training_set(model, bank, ids, augment=args.augment, seed=args.seed))
     if not sets:
         ap.error("no training data: pass recordings and/or --synthetic N")
     data = TrainingSet(*[jnp.concatenate(xs) for xs in zip(*sets)])

@@ -16,8 +16,8 @@ import jax.numpy as jnp
 from ..imaging.camera import DCamera
 from ..imaging.heatmaps import (image_find_max, peak_subpixel, peak_volume,
                                 peaks_1d, render_1d_heatmaps, render_heatmaps)
-from ..maths.pose import pose_apply, pose_inverse, pose_pos, pose_quat
-from ..maths.quat import qmul, qnormalize, qrot, quat_from_axis_angle, qxdir, qydir, qzdir
+from ..maths.pose import pose_apply, pose_inverse, pose_quat
+from ..maths.quat import qmul, qnormalize, quat_from_axis_angle, qxdir, qydir, qzdir
 from ..model.bake import FEATURE_BONES, FEATURE_OFFSETS
 from .model import HM, KEY_ANGLES, N_HEATMAPS
 

@@ -67,8 +67,30 @@ def compress_dataset(depth_frames, cam: DCamera, poses,
                        jnp.concatenate(ps))
 
 
+def _augment_poses(poses, key):
+    """Random global rigid transform keeping the hand in view: small rotation
+    about the camera axis-ish directions + translation within the frustum.
+    Expands the synthetic set beyond the animbank's recorded viewpoints."""
+    from ..maths.pose import pose_mul
+    from ..maths.quat import quat_from_axis_angle
+    k1, k2, k3 = jax.random.split(key, 3)
+    axis = jax.random.normal(k1, (3,))
+    axis = axis / jnp.linalg.norm(axis)
+    angle = jax.random.uniform(k2, (), minval=-0.5, maxval=0.5)
+    dq = quat_from_axis_angle(axis, angle)
+    dt = jax.random.uniform(k3, (3,), minval=-1.0, maxval=1.0) \
+        * jnp.asarray([0.06, 0.05, 0.08])
+    # rotate about the palm's current position so the hand stays in frame
+    pivot = poses[1, :3]
+    dp = jnp.concatenate([pivot + dt, dq])
+    un_pivot = jnp.concatenate([-pivot, jnp.asarray([0.0, 0, 0, 1])])
+    world = pose_mul(dp, un_pivot)
+    return jax.vmap(lambda p: pose_mul(world, p))(poses)
+
+
 def synthetic_training_set(model, bank, frame_ids, cam: DCamera | None = None,
-                           chunk: int = 64) -> TrainingSet:
+                           chunk: int = 64, augment: bool = False,
+                           seed: int = 0) -> TrainingSet:
     """Render animbank poses to depth and compress — unlimited labelled data
     with exact ground truth (the synthetic-hand-tracker flywheel, done
     offline)."""
@@ -76,10 +98,14 @@ def synthetic_training_set(model, bank, frame_ids, cam: DCamera | None = None,
         cam = synth_camera()
     render = jax.jit(jax.vmap(lambda p: fake_depth(p, model, cam)))
     fn = jax.jit(jax.vmap(lambda d, p: compress_frame(d, cam, p)))
+    aug = jax.jit(jax.vmap(_augment_poses))
     xs, ls, ps = [], [], []
     ids = np.asarray(frame_ids)
     for i in range(0, len(ids), chunk):
         poses = jnp.asarray(bank[ids[i:i + chunk]])
+        if augment:
+            keys = jax.random.split(jax.random.PRNGKey(seed + i), len(poses))
+            poses = aug(poses, keys)
         depth = render(poses)
         x, l, p = fn(depth, poses)
         xs.append(x)

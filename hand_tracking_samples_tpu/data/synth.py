@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ..imaging.camera import DCamera
 from ..maths.pose import pose_apply, pose_inverse
-from ..maths.quat import qconj, qrot
+from ..maths.quat import qrot
 
 
 def fake_depth(poses, model, cam: DCamera) -> jnp.ndarray:

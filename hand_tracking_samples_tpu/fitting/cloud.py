@@ -20,7 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..maths.pose import pose_apply, pose_inverse, pose_pos, pose_quat, transform_plane
+from ..maths.pose import pose_apply, pose_inverse, pose_quat
 from ..maths.quat import qconj, qrot, safenormalize
 from ..physics.solver import BodyState, FLT_MAX, LinearRows
 

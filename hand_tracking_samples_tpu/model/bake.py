@@ -22,7 +22,7 @@ import numpy as np
 
 from ..geometry.hull import calchull
 from ..geometry.solids import center_of_mass, inertia, tri_planes
-from ..geometry.subdiv import catmull_clark, fan_triangulate
+from ..geometry.subdiv import catmull_clark
 
 # The 8 model landmarks (handtrack.h:76-81): 3 palm points on bone 1 + 5 tips.
 FEATURE_BONES = np.array([1, 1, 1, 4, 7, 10, 13, 16], np.int32)

@@ -11,7 +11,6 @@ import jax
 import jax.numpy as jnp
 
 from ..fitting.cloud import cloud_constraint_rows, scale_cloud_forces
-from ..maths.pose import pose_apply, pose_pos, pose_quat
 from ..maths.quat import qrot
 from ..physics.constraints import (constrain_angular_range,
                                    constrain_position_nailed)

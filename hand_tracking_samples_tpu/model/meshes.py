@@ -13,7 +13,6 @@ import os
 import numpy as np
 
 from ..geometry.subdiv import catmull_clark, fan_triangulate
-from .bake import HandModelArrays
 
 
 def load_display_meshes(json_path: str, subdiv: int = 2):

@@ -10,11 +10,9 @@ Everything here composes the pure per-track functions from tracker.runtime.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..imaging.camera import DCamera
 from ..tracker.config import TrackerConfig

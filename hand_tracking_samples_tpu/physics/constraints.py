@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..maths.pose import pose_apply, pose_inverse, pose_mul, pose_pos, pose_quat
+from ..maths.pose import pose_apply, pose_inverse, pose_mul, pose_quat
 from ..maths.quat import (orth, qconj, qmul, qrot, quat_from_to, qxdir, qydir,
                           qzdir, safenormalize, qmat)
 from .solver import AngularRows, BodyState, FLT_MAX, LinearRows
