@@ -17,4 +17,6 @@ def _find(name: str) -> str:
 DEFAULT_MODEL_JSON = _find("model_hand.json")
 DEFAULT_ANIMBANK = _find("animbank.pose")
 DEFAULT_VANITY_BONES = _find("vanity_bones.json")
-DEFAULT_CNNB = os.path.join(_LOCAL, "handposedd_synth.cnnb")
+_V2 = os.path.join(_LOCAL, "handposedd_synth_v2.cnnb")
+DEFAULT_CNNB = _V2 if os.path.exists(_V2) \
+    else os.path.join(_LOCAL, "handposedd_synth.cnnb")
