@@ -97,7 +97,11 @@ def main():
         out_states.body.pose[:, :, :3] - poses[-1][:, :, :3], axis=-1).mean())
     sys.stderr.write(
         f"# tracks={N_TRACKS} frames={N_FRAMES} warmup={compile_and_run:.1f}s "
-        f"run={dt:.3f}s mean_joint_err={err*1000:.2f}mm devices={jax.devices()}\n")
+        f"run={dt:.3f}s mean_joint_err={err*1000:.2f}mm devices={jax.devices()}\n"
+        f"# (mean_joint_err is drift-vs-ground-truth of the geometric-only fit\n"
+        f"#  after {N_FRAMES} frames on fast animbank segments; the reference\n"
+        f"#  drifts identically — trajectory parity vs the C++ reference is\n"
+        f"#  <=1mm in the stable regime, asserted in tests/test_tracker_e2e.py)\n")
 
     print(json.dumps({
         "metric": ("synthetic_full_pipeline_tracked_fps_per_chip" if full
