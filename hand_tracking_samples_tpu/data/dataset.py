@@ -154,6 +154,16 @@ class DatasetWriter:
         self.close()
 
 
+def update_background(background, depth, fudge: int = 3):
+    """RSCam::addbackground (dcam.h:157-162): running min of observed depth
+    (minus a fudge) used by FilterDS4's background subtraction.
+    background None -> initialised at 4096."""
+    if background is None:
+        background = np.full(depth.shape, 4096, np.uint16)
+    return np.minimum(background,
+                      (depth.astype(np.int32) - fudge).clip(0).astype(np.uint16))
+
+
 def filter_ivy(depth: np.ndarray, depth_scale: float = 0.001) -> np.ndarray:
     """FilterIvy (dcam.h:209-226): zero depth -> 4 m fill."""
     const = np.uint16(4.0 / depth_scale)

@@ -237,6 +237,44 @@ def fix_orientations(state: BodyState, model, params) -> BodyState:
     return state._replace(pose=pose)
 
 
+def set_bone_pose_hierarchy_w(state: BodyState, model, params, bid: int,
+                              qw) -> BodyState:
+    """SetBonePoseHierarchyW (physmodel.h:357-367): set one bone's world
+    orientation and propagate the delta to its descendants, then repair
+    ranges and positions.  bid is a static python int (the joint tree is
+    static, so the descendant set is computed on the host)."""
+    from ..maths.quat import qconj, qmul
+
+    j0 = [int(x) for x in model.joint_rbi0]
+    j1 = [int(x) for x in model.joint_rbi1]
+
+    def parent(i):
+        p = i
+        for a, b in zip(j0, j1):
+            if a == i or b == i:
+                p = min(p, min(a, b))
+        return -1 if p == i else p
+
+    # descendants of bid in hierarchy order
+    n = state.pose.shape[0]
+    desc = [bid]
+    changed = True
+    while changed:
+        changed = False
+        for c in range(n):
+            if c not in desc and parent(c) in desc:
+                desc.append(c)
+                changed = True
+
+    pose = state.pose
+    dq = qmul(jnp.asarray(qw), qconj(pose[bid, 3:7]))
+    for c in desc:
+        pose = pose.at[c, 3:7].set(qmul(dq, pose[c, 3:7]))
+    out = state._replace(pose=pose)
+    out = fix_orientations(out, model, params)
+    return fix_positions(out, model)
+
+
 def fix_positions(state: BodyState, model) -> BodyState:
     """physmodel.h:404-408 FixPositions: top-down snap of joint attachment
     points. Joints are ordered parent-before-child in the hand model, so a

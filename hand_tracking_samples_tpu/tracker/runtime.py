@@ -62,6 +62,19 @@ class CnnDebug(NamedTuple):
     segment_cam_pose: jnp.ndarray
 
 
+def scale_tracker(model, config: TrackerConfig, s: float):
+    """HandTracker::scale (handtrack.h:591): resize the hand model and the
+    segmentation diameter together.  Host-side (rebuilds model arrays)."""
+    import dataclasses
+    import numpy as np
+    from ..model.bake import HandModelArrays, scale_model
+    host = HandModelArrays(*[np.asarray(x) for x in model.tree_flatten()[0]])
+    scaled = scale_model(host, s)
+    scaled = jax.tree.map(jnp.asarray, scaled)
+    return scaled, dataclasses.replace(
+        config, segment_scale=config.segment_scale * s)
+
+
 def make_tracker_state(model) -> TrackerState:
     return TrackerState(body=initial_state(model),
                         prev_frame_error=jnp.float32(0.0),
