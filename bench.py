@@ -48,6 +48,7 @@ def main():
     cam = synth_camera()
     full = os.environ.get("BENCH_MODE", "dynamics") == "full"
     config = TrackerConfig(point_budget=POINT_BUDGET, cnn_every_frame=full,
+                           cnn_every_k=int(os.environ.get("BENCH_CNN_K", "1")),
                            solver=SOLVER, cloud_rows_per_body=CLOUD_ROWS,
                            use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
                            contacts_mode=os.environ.get("BENCH_CONTACTS", "exact"))

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import argparse
 
-from ..assets_paths import DEFAULT_ANIMBANK, DEFAULT_MODEL_JSON
+from ..assets_paths import DEFAULT_CNNB, DEFAULT_ANIMBANK, DEFAULT_MODEL_JSON
 import sys
 
 import numpy as np
@@ -29,7 +29,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("recordings", nargs="+")
     ap.add_argument("--model", default=DEFAULT_MODEL_JSON)
-    ap.add_argument("--cnnb", default=None)
+    ap.add_argument("--cnnb", default=None, help=".cnnb weights (default: shipped trained net)")
     ap.add_argument("--out", default=None, help="basename for refined output")
     ap.add_argument("--hold", type=int, default=0, choices=[0, 1, 2],
                     help="hold relative finger pose (occluded captures)")
@@ -39,7 +39,7 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0)
     args = ap.parse_args(argv)
 
-    from ..cnn.model import init_params, load_cnnb
+    from ..cnn.model import load_cnnb
     from ..data.dataset import DatasetWriter, load_dataset
     from ..fitting.cloud import fit_error
     from ..imaging.image_ops import compact_points, point_cloud
@@ -53,8 +53,7 @@ def main(argv=None):
     config = TrackerConfig(point_budget=2048, solver="sequential",
                            use_pallas=False)
     params = physics_params(config)
-    cnn_params = (load_cnnb(args.cnnb) if args.cnnb
-                  else init_params(jax.random.PRNGKey(0)))
+    cnn_params = load_cnnb(args.cnnb or DEFAULT_CNNB)
 
     for rec in args.recordings:
         bname = rec[:-3] if rec.endswith(".rs") else rec

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import argparse
 
-from ..assets_paths import DEFAULT_ANIMBANK, DEFAULT_MODEL_JSON
+from ..assets_paths import DEFAULT_CNNB, DEFAULT_ANIMBANK, DEFAULT_MODEL_JSON
 import os
 import sys
 import time
@@ -31,7 +31,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("recordings", nargs="+", help=".rs files or basenames")
     ap.add_argument("--model", default=DEFAULT_MODEL_JSON)
-    ap.add_argument("--cnnb", default=None)
+    ap.add_argument("--cnnb", default=None, help=".cnnb weights (default: shipped trained net)")
     ap.add_argument("--out", default=None, help="write tracked poses (.pose)")
     ap.add_argument("--dynamics-only", action="store_true")
     ap.add_argument("--solver", default="colored")
@@ -39,7 +39,7 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=0)
     args = ap.parse_args(argv)
 
-    from ..cnn.model import init_params, load_cnnb
+    from ..cnn.model import load_cnnb
     from ..data.dataset import filter_ds4, filter_ivy, load_dataset
     from ..model.bake import load_hand_model
     from ..tracker.config import TrackerConfig
@@ -53,8 +53,7 @@ def main(argv=None):
     params = physics_params(config)
     cnn_params = None
     if not args.dynamics_only:
-        cnn_params = (load_cnnb(args.cnnb) if args.cnnb
-                      else init_params(jax.random.PRNGKey(0)))
+        cnn_params = load_cnnb(args.cnnb or DEFAULT_CNNB)
 
     for rec in args.recordings:
         bname = rec[:-3] if rec.endswith(".rs") else rec

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import argparse
 
-from ..assets_paths import DEFAULT_ANIMBANK, DEFAULT_MODEL_JSON
+from ..assets_paths import DEFAULT_CNNB, DEFAULT_ANIMBANK, DEFAULT_MODEL_JSON
 import os
 import sys
 import time
@@ -44,7 +44,7 @@ def main(argv=None):
                     help="start from the rest pose (tests CNN acquisition)")
     args = ap.parse_args(argv)
 
-    from ..cnn.model import init_params, load_cnnb
+    from ..cnn.model import load_cnnb
     from ..data.animbank import load_animbank
     from ..data.synth import fake_depth, synth_camera
     from ..model.bake import load_hand_model
@@ -64,8 +64,7 @@ def main(argv=None):
     params = physics_params(config)
     cnn_params = None
     if not args.dynamics_only:
-        cnn_params = (load_cnnb(args.cnnb) if args.cnnb
-                      else init_params(jax.random.PRNGKey(0)))
+        cnn_params = load_cnnb(args.cnnb or DEFAULT_CNNB)
 
     if args.tracks < 1 or args.frames < 1:
         ap.error("--tracks and --frames must be >= 1")

@@ -41,17 +41,19 @@ def _hull_dots(state: BodyState, model, points):
 
 def _hull_best(state: BodyState, model, points, origin, use_kernel):
     """Per (body, point) most-above plane value/index (+ ray-clip reductions
-    when use_kernel).  Returns (hull_vals (B,N), pidx (B,N), slab or None)."""
+    and the world plane sets when use_kernel).  Returns (hull_vals (B,N),
+    pidx (B,N), slab or None, planes_w or None)."""
     if use_kernel:
-        from ..ops.correspondence import hull_reductions
+        from ..ops.correspondence import hull_reductions, world_planes
         o = jnp.zeros(3, points.dtype) if origin is None else origin
+        planes_w = world_planes(state.pose, model)
         hull_vals, pidx, te, tx, miss = hull_reductions(
-            state.pose, model, points, o)
-        return hull_vals, pidx, (te, tx, miss)
+            state.pose, model, points, o, planes_w=planes_w)
+        return hull_vals, pidx, (te, tx, miss), planes_w
     dots = _hull_dots(state, model, points)                   # (B,N,P)
     pidx = jnp.argmax(dots, axis=-1)                          # (B,N)
     hull_vals = jnp.take_along_axis(dots, pidx[..., None], axis=-1)[..., 0]
-    return hull_vals, pidx, None
+    return hull_vals, pidx, None, None
 
 
 def closest_planes(state: BodyState, model, points, point_mask,
@@ -74,12 +76,17 @@ def closest_planes(state: BodyState, model, points, point_mask,
     # hull most-above planes (physmodel.h:127-135)
     if hull_best is None:
         hull_best = _hull_best(state, model, points, None, use_kernel)
-    hull_vals, pidx, _ = hull_best
-    best_local = jax.vmap(lambda pl, ix: pl[ix])(model.planes, pidx)  # (B,N,4)
-    # transform to world (Pose::TransformPlane)
-    wn = qrot(q[:, None, :], best_local[..., :3])             # (B,N,3)
-    ww = best_local[..., 3] - jnp.einsum("bk,bnk->bn", pos, wn)
-    hull_planes = jnp.concatenate([wn, ww[..., None]], -1).swapaxes(0, 1)
+    hull_vals, pidx, _, planes_w = hull_best
+    if planes_w is not None:
+        # world plane sets already computed once — just gather the winners
+        hull_planes = jax.vmap(lambda pw, ix: pw[ix, :4])(planes_w, pidx)
+        hull_planes = hull_planes.swapaxes(0, 1)              # (N,B,4)
+    else:
+        best_local = jax.vmap(lambda pl, ix: pl[ix])(model.planes, pidx)
+        # transform to world (Pose::TransformPlane)
+        wn = qrot(q[:, None, :], best_local[..., :3])         # (B,N,3)
+        ww = best_local[..., 3] - jnp.einsum("bk,bnk->bn", pos, wn)
+        hull_planes = jnp.concatenate([wn, ww[..., None]], -1).swapaxes(0, 1)
     hull_vals = hull_vals.swapaxes(0, 1)                      # (N,B)
 
     vals = jnp.concatenate([sphere_vals, hull_vals], axis=1)      # (N,2B)
@@ -124,9 +131,11 @@ def cloud_constraint_rows(state: BodyState, model, points, point_mask,
                                       hull_best=hull_best)
     bpose = state.pose[body]                                   # (N,7)
 
-    # default branch: attach at the point projected onto the winning plane
+    # default branch: attach at the point projected onto the winning plane.
+    # The reference stores p1 in body-local coords and re-rotates it for the
+    # lever arm (physmodel.h:168-173); local->world round trips cancel, so
+    # attachment points stay in world space here.
     attach_w = points - plane[:, :3] * val[:, None]
-    p1_default = pose_apply(pose_inverse(bpose), attach_w)
     n_default = plane[:, :3]
 
     if directed:
@@ -156,16 +165,14 @@ def cloud_constraint_rows(state: BodyState, model, points, point_mask,
         te = t_enter[body, nidx]
         impact = origin + (points - origin) * te[:, None]
         use_ray = front & hit
-        p1 = jnp.where(use_ray[:, None],
-                       pose_apply(pose_inverse(bpose), impact), p1_default)
+        w1 = jnp.where(use_ray[:, None], impact, attach_w)
         n = jnp.where(use_ray[:, None], dirn, n_default)
     else:
-        p1, n = p1_default, n_default
+        w1, n = attach_w, n_default
 
     # ConstrainAlongDirection(NULL, v, rb, p1, n, -1, 1) built inline:
-    w1 = pose_apply(bpose, p1)
     targetdist = jnp.einsum("nk,nk->n", w1 - points, n)
-    r1 = qrot(pose_quat(bpose), p1)
+    r1 = w1 - bpose[:, :3]
     N = points.shape[0]
     return LinearRows(
         b0=jnp.full(N, -1, jnp.int32), b1=body,

@@ -244,9 +244,52 @@ def voxel_subsample(points, mask, voxel_size: float = 0.01,
 def compact_points(points, mask, budget: int):
     """Pack the valid points to the front, fixed budget. Points beyond the
     budget are dropped (the reference keeps all; the budget is the TPU
-    static-shape tradeoff — size it generously).  Linear-time prefix-sum
-    scatter (a sort here costs more than the whole solve)."""
+    static-shape tradeoff — size it generously).  Stable argsort of the
+    validity key — measured faster end-to-end than a prefix-sum scatter
+    (docs/PERFORMANCE.md); for depth images use cloud_from_depth instead."""
     order = jnp.argsort(~mask, stable=True)  # valid first, original order
     pts = points[order[:budget]]
     msk = mask[order[:budget]]
     return pts, msk
+
+
+def cloud_from_depth(depth, cam: DCamera, range_lo, range_hi, frac: int,
+                     budget: int):
+    """Fused PointCloud + takesubsample + compaction: bit-identical to
+    point_cloud -> every-frac-th-valid mask -> compact_points, but never
+    materialises the (H*W, 3) cloud or sorts 76,800 keys.  Selection runs on
+    the (rows, 128) raster: per-row lane cumsums, then fused
+    broadcast-compare reductions map output slots to (row, lane); only the
+    `budget` selected pixels are deprojected.
+    Returns (points (budget,3), mask)."""
+    H, W = depth.shape
+    d = depth.astype(jnp.float32) * cam.depth_scale
+    assert (H * W) % 128 == 0
+    v = ((d >= range_lo) & (d < range_hi)).reshape(-1, 128)   # (R, 128)
+    c_in = jnp.cumsum(v.astype(jnp.int32), axis=1)            # inclusive
+    row_tot = c_in[:, -1]
+    row_base = jnp.cumsum(row_tot) - row_tot                  # valid before row
+    rank = row_base[:, None] + c_in - 1                       # rank among valid
+    kept = v & (rank % frac == 0)
+    k_in = jnp.cumsum(kept.astype(jnp.int32), axis=1)         # inclusive
+    krow = k_in[:, -1]
+    kbase = jnp.cumsum(krow) - krow                           # kept before row
+    total = kbase[-1] + krow[-1]
+    # slot -> (row, lane): broadcast-compare reductions (XLA fuses these; a
+    # searchsorted lowers to a while-loop of gathers and is ~50x slower)
+    s = jnp.arange(budget, dtype=jnp.int32)
+    le = kbase[None, :] <= s[:, None]                         # (S, R) fused
+    row = jnp.sum(le.astype(jnp.int32), axis=1) - 1
+    j = s - jnp.max(jnp.where(le, kbase[None, :], 0), axis=1)  # s - kbase[row]
+    k_rows = k_in[row]                                        # (S, 128) row gather
+    lane = jnp.sum((k_rows <= j[:, None]).astype(jnp.int32), axis=1)
+    lane = jnp.minimum(lane, 127)
+    lanes = jnp.arange(128, dtype=jnp.int32)
+    z = jnp.sum(jnp.where(lanes[None, :] == lane[:, None],
+                          d.reshape(-1, 128)[row], 0.0), axis=1)
+    ok = s < total
+    flat = row * 128 + lane
+    px = (flat % W).astype(jnp.float32)
+    py = (flat // W).astype(jnp.float32)
+    pts = cam.deprojectz(jnp.stack([px, py], -1), z)
+    return pts, ok

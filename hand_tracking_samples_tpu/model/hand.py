@@ -75,7 +75,8 @@ def fit_point_cloud(state: BodyState, model, params: PhysicsParams,
                     iterations: int = 16, iterations_post: int = 4,
                     contacts_fn=None, schedule=None, single_blocks=None,
                     angular_pair_blocks=None, cloud_slots: int = 128,
-                    use_kernel: bool = False) -> BodyState:
+                    use_kernel: bool = False, pgs_plan=None,
+                    extra_ang_class_rows=None) -> BodyState:
     """FitPointCloud (physmodel.h:345-356).
 
     Row order matches the reference: [caller linears][cloud rows][joint
@@ -85,7 +86,18 @@ def fit_point_cloud(state: BodyState, model, params: PhysicsParams,
     used: caller rows arrive as `single_blocks` (SingleBodyLinear, in order)
     and `angular_pair_blocks`; contacts are generated internally when
     `contacts_fn` is truthy.
+
+    When `pgs_plan` (a pgs_kernel.SolvePlan) is given, the solve runs in the
+    VMEM-resident Pallas kernel (same schedule semantics as colored; batched
+    under vmap).  extra_ang_class_rows are per-class AngularRows matching the
+    plan's leading angular classes (e.g. the ApplyAngles rows).
     """
+    if pgs_plan is not None:
+        return _fit_point_cloud_pgs(
+            state, model, params, points, point_mask, microforce, origin,
+            rangemin, rangemax, iterations, iterations_post,
+            contacts_fn is not None, pgs_plan, single_blocks or [],
+            extra_ang_class_rows or [], cloud_slots, use_kernel)
     if schedule is not None:
         return _fit_point_cloud_colored(
             state, model, params, points, point_mask, microforce, origin,
@@ -148,6 +160,48 @@ def _fit_point_cloud_colored(state, model, params, points, point_mask,
     new = physics_update_colored(state, bp, lin_blocks, ang_blocks, params,
                                  iterations=iterations,
                                  iterations_post=iterations_post)
+    return sanity_check(new, bp)
+
+
+def _fit_point_cloud_pgs(state, model, params, points, point_mask,
+                         microforce, origin, rangemin, rangemax,
+                         iterations, iterations_post, use_contacts,
+                         plan, single_blocks, extra_ang_class_rows,
+                         cloud_slots, use_kernel=False):
+    from ..physics.colored import SingleBodyLinear, pack_single_body_linear
+    from ..physics.contacts import contact_rows
+    from ..physics.pgs_kernel import physics_update_pgs
+
+    B = state.pose.shape[0]
+    sb = list(single_blocks)
+    if points.shape[0] > 0:
+        if use_kernel:
+            from ..ops.cloud_rows import cloud_rows_packed
+            scale_b = jnp.where(jnp.arange(B) <= 2, PHYSICS_WEAK_FORCE,
+                                1.0) * microforce
+            o = jnp.zeros(3, jnp.float32) if origin is None else origin
+            blk, _ = cloud_rows_packed(state, model, points, point_mask, o,
+                                       scale_b, cloud_slots)
+            sb.append(blk)
+        else:
+            cloud = cloud_constraint_rows(state, model, points, point_mask,
+                                          origin=origin, use_kernel=use_kernel)
+            weak = (cloud.b1 <= 2).astype(jnp.float32)
+            scale = (weak * PHYSICS_WEAK_FORCE + (1.0 - weak)) * microforce
+            cloud = scale_cloud_forces(cloud, scale)
+            sb.append(pack_single_body_linear(cloud, B, cloud_slots))
+    single = (jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *sb)
+              if sb else None)
+    lin_rows = [joint_linear_rows(state, model)]
+    if use_contacts:
+        lin_rows.append(contact_rows(state, model, params))
+    ang_rows = list(extra_ang_class_rows)
+    ang_rows.append(joint_angular_rows(state, model, params,
+                                       rangemin, rangemax))
+    bp = body_params(model)
+    new = physics_update_pgs(state, bp, single, lin_rows, ang_rows, plan,
+                             params, iterations=iterations,
+                             iterations_post=iterations_post)
     return sanity_check(new, bp)
 
 

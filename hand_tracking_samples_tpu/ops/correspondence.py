@@ -8,11 +8,11 @@ for every reduction; this kernel computes the plane dots as one MXU matmul
 tile per body and folds all four reductions in VMEM, so only (bodies, points)
 sized results ever reach HBM.
 
-Shapes (one track): local_h (B, K, N) homogeneous local points (K=8, xyz1 in
-the first 4 lanes), planes (B, P, K) padded planes (padding rows have
-w=-1e9 so they never win and never clip), d0 (B, P) ray-origin plane dots.
-Outputs: hull_val (B,N), pidx (B,N) i32, t_enter (B,N), t_exit (B,N),
-miss (B,N) i32.
+Hulls are evaluated in WORLD space: the per-body plane sets (B, P, 4) are
+transformed once per solve (tiny), so the homogeneous point tile (8, N) is
+shared by all bodies — the (B, K, N) per-body local-point tensor of the
+naive formulation never exists.  dot(plane_world, [p;1]) equals the
+reference's local-frame dot exactly up to rotation rounding.
 """
 from __future__ import annotations
 
@@ -23,16 +23,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..maths.quat import qrot
+
 N_BLK = 512
 
 
-def _kernel(planes_ref, d0_ref, local_ref, hull_val_ref, pidx_ref,
+def _kernel(planes_ref, d0_ref, pts_ref, hull_val_ref, pidx_ref,
             t_enter_ref, t_exit_ref, miss_ref):
     B = planes_ref.shape[0]
+    pts = pts_ref[:]                                 # (K, Nblk) shared
     for b in range(B):
-        planes = planes_ref[b]                       # (P, K)
-        loc = local_ref[b]                           # (K, Nblk)
-        dots = jnp.dot(planes, loc, preferred_element_type=jnp.float32)
+        planes = planes_ref[b]                       # (P, K) world planes
+        dots = jnp.dot(planes, pts, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         # most-above plane (value + first-max index)
         hull_val_ref[b, :] = jnp.max(dots, axis=0)
         pidx_ref[b, :] = jnp.argmax(dots, axis=0).astype(jnp.int32)
@@ -50,11 +53,12 @@ def _kernel(planes_ref, d0_ref, local_ref, hull_val_ref, pidx_ref,
 
 
 @functools.partial(jax.jit, static_argnames=())
-def correspondence_reductions(local_h, planes, d0):
-    """local_h (B, K, N) f32; planes (B, P, K); d0 (B, P).
+def correspondence_reductions(pts_h, planes, d0):
+    """pts_h (K, N) f32 homogeneous world points; planes (B, P, K) world
+    planes; d0 (B, P) ray-origin plane dots.
     Returns hull_val, pidx, t_enter, t_exit, miss — all (B, N)."""
-    B, K, N = local_h.shape
-    P = planes.shape[1]
+    K, N = pts_h.shape
+    B, P, _ = planes.shape
     assert N % N_BLK == 0, (
         f"point budget {N} must be a multiple of {N_BLK} when use_pallas=True "
         f"(TrackerConfig.point_budget)")
@@ -75,35 +79,37 @@ def correspondence_reductions(local_h, planes, d0):
             pl.BlockSpec((B, P, K), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, P), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, K, N_BLK), lambda i: (0, 0, i),
+            pl.BlockSpec((K, N_BLK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec] * 5,
         out_shape=out_shape,
-    )(planes, d0, local_h)
+    )(planes, d0, pts_h)
 
 
-def hull_reductions(state_pose, model, points, origin):
-    """Convenience wrapper: builds kernel inputs from body poses (B,7),
-    HandModelArrays and points (N,3).  N must be a multiple of N_BLK
-    (point budgets are sized accordingly).  Returns (B,N) reductions."""
-    from ..maths.pose import pose_apply, pose_inverse
-    from ..maths.quat import qconj, qrot
-
+def world_planes(state_pose, model):
+    """Per-body hull planes in world space (Pose::TransformPlane), padded to
+    K=8 lanes; padding/masked planes get w = -1e9 so they never win or clip.
+    Returns (B, P, 8)."""
     pos = state_pose[:, :3]
     q = state_pose[:, 3:7]
-    local = qrot(qconj(q)[:, None, :], points[None, :, :] - pos[:, None, :])
-    B, N, _ = local.shape
-    K = 8
-    lh = jnp.zeros((B, N, K), jnp.float32)
-    lh = lh.at[..., :3].set(local).at[..., 3].set(1.0)
-    local_h = lh.swapaxes(1, 2)                       # (B, K, N)
+    wn = qrot(q[:, None, :], model.planes[..., :3])            # (B, P, 3)
+    ww = model.planes[..., 3] - jnp.einsum("bk,bpk->bp", pos, wn)
+    ww = jnp.where(model.plane_mask, ww, -1e9)
+    B, P = ww.shape
+    pk = jnp.zeros((B, P, 8), jnp.float32)
+    return pk.at[..., :3].set(wn * model.plane_mask[..., None]).at[..., 3].set(ww)
 
-    P = model.planes.shape[1]
-    pk = jnp.zeros((B, P, K), jnp.float32).at[..., :4].set(model.planes)
 
-    olocal = pose_apply(pose_inverse(state_pose), jnp.broadcast_to(origin, (B, 3)))
-    d0 = (jnp.einsum("bpk,bk->bp", model.planes[..., :3], olocal)
-          + model.planes[..., 3])
+def hull_reductions(state_pose, model, points, origin, planes_w=None):
+    """Convenience wrapper: world-plane transform (tiny) + shared homogeneous
+    point tile.  N must be a multiple of N_BLK.  Returns (B,N) reductions."""
+    if planes_w is None:
+        planes_w = world_planes(state_pose, model)
+    N = points.shape[0]
+    pts_h = jnp.zeros((8, N), jnp.float32)
+    pts_h = pts_h.at[0:3].set(points.T).at[3].set(1.0)
+    d0 = (jnp.einsum("bpk,k->bp", planes_w[..., :3], origin)
+          + planes_w[..., 3])
     d0 = jnp.where(model.plane_mask, d0, -1.0)
-    return correspondence_reductions(local_h, pk, d0)
+    return correspondence_reductions(pts_h, planes_w[..., :8], d0)

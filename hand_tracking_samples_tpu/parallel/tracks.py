@@ -25,14 +25,15 @@ def batched_tracker_state(model, n_tracks: int) -> TrackerState:
 
 
 def batched_update(states: TrackerState, model, cnn_params, depths,
-                   cam: DCamera, config: TrackerConfig, params=None):
+                   cam: DCamera, config: TrackerConfig, params=None,
+                   run_cnn=None):
     """One frame for all tracks. depths: (T, H, W) uint16."""
     if params is None:
         params = physics_params(config)
 
     def one(state, depth):
         s, pose_user, _ = update(state, model, cnn_params, depth, cam, config,
-                                 params)
+                                 params, run_cnn=run_cnn)
         return s, pose_user
 
     return jax.vmap(one)(states, depths)
@@ -44,16 +45,38 @@ def track_sequences(states: TrackerState, model, cnn_params, depth_seqs,
 
     depth_seqs: (F, T, H, W) — frame-major so the scan carries the per-track
     state recurrence.  Returns (final states, (F, T, 17, 7) user poses).
+
+    When config.cnn_every_k > 1 (and the CNN runs at all), the scan proceeds
+    in groups of k frames: CNN + heavy refit on the group's first frame, the
+    cheap cloud-only fit on the rest — the reference's background-CNN cadence
+    (handtrack.h:45-48, 755-768) made static.
     """
     if params is None:
         params = physics_params(config)
+    k = config.cnn_every_k if (config.cnn_every_frame
+                               and cnn_params is not None) else 1
 
-    def step(states, depths):
-        states, poses = batched_update(states, model, cnn_params, depths, cam,
-                                       config, params)
-        return states, poses
+    if k <= 1:
+        def step(states, depths):
+            return batched_update(states, model, cnn_params, depths, cam,
+                                  config, params)
+        return jax.lax.scan(step, states, depth_seqs)
 
-    return jax.lax.scan(step, states, depth_seqs)
+    F = depth_seqs.shape[0]
+    assert F % k == 0, f"frame count {F} must be a multiple of cnn_every_k={k}"
+    grouped = depth_seqs.reshape((F // k, k) + depth_seqs.shape[1:])
+
+    def step(states, depths_k):
+        poses = []
+        for i in range(k):
+            states, p = batched_update(states, model, cnn_params,
+                                       depths_k[i], cam, config, params,
+                                       run_cnn=(i == 0))
+            poses.append(p)
+        return states, jnp.stack(poses)
+
+    states, poses = jax.lax.scan(step, states, grouped)
+    return states, poses.reshape((F,) + poses.shape[2:])
 
 
 def sharded_track_sequences(mesh: Mesh, states, model, cnn_params, depth_seqs,

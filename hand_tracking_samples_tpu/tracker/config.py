@@ -47,6 +47,10 @@ class TrackerConfig:
     point_budget: int = 1024        # static cloud-point slots per frame
     multistep_point_budget: int = 256  # after the extra /4 subsample
     cnn_every_frame: bool = True    # reference: background thread, less often
+    cnn_every_k: int = 1            # CNN cadence under track_sequences: run
+    # the CNN+refit on one frame in k, cheap cloud fits in between — the
+    # reference's own amortization (background CNN thread slower than frame
+    # rate, handtrack.h:755-768); k=1 = every frame
     solver: str = "sequential"      # "sequential" (bit-faithful row order) or
     # "colored" (disjoint-row groups; identical up to commuting rows, with a
     # per-body cloud-row cap of cloud_rows_per_body)

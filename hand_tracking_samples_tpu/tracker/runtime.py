@@ -47,6 +47,19 @@ from .config import TrackerConfig
 DEG2RAD = 3.14159 / 180.0
 
 
+def _full_precision(fn):
+    """TPU matmuls default to bf16 inputs; geometry/solver contractions need
+    f32 (mm-scale parity).  Explicit bf16 casts (e.g. CNN compute_dtype)
+    are unaffected — precision only applies to f32 operands."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+    return wrapped
+
+
 class TrackerState(NamedTuple):
     body: BodyState
     prev_frame_error: jnp.ndarray   # f32 scalar
@@ -263,6 +276,7 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
                    points, point_mask, camera_pose, config: TrackerConfig,
                    params, schedule=None) -> BodyState:
     colored = schedule is not None
+    kernel = config.solver == "kernel"
     bp = body_params(model)
     body = sanity_check(body, bp)
     npts = jnp.maximum(point_mask.sum(), 1)
@@ -274,10 +288,17 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
     for s in range(config.steps):
         angulars = []
         ang_blocks = []
-        if s < config.steps_keyangles or config.angles_only:
+        extra_ang = []
+        has_angles = s < config.steps_keyangles or config.angles_only
+        if has_angles:
             aa = apply_angles(body, model, analysis, camera_pose, params,
                               10000.0 if s < config.steps_palmangle else 0.0)
-            if colored:
+            if kernel:
+                # the multistep plan splits ApplyAngles into the palm-drive
+                # unit (3 rows) and the 9 finger-cone units
+                extra_ang.append(jax.tree.map(lambda x: x[:3], aa))
+                extra_ang.append(jax.tree.map(lambda x: x[3:], aa))
+            elif colored:
                 from ..physics.schedule import pair_angular
                 ang_blocks.append(pair_angular(aa, schedule.apply_angles))
             else:
@@ -299,12 +320,15 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
                         body, jnp.int32(-1), camera_pose[:3],
                         jnp.int32(bone), offset, axis, 0.01,
                         -100000.0, 100000.0, active=ok))
-            if colored:
+            if colored or kernel:
                 from ..physics.colored import pack_single_body_linear
                 single_blocks.append(pack_single_body_linear(
                     concat_linear(*linears), body.pose.shape[0], 4))
                 linears = []
-        if config.steps_cloudstart <= s and not config.angles_only:
+        has_cloud = config.steps_cloudstart <= s and not config.angles_only
+        mpts = jnp.zeros((0, 3), jnp.float32)
+        mmask = jnp.zeros((0,), bool)
+        if has_cloud:
             # takesubsample(vpts) again (handtrack.h:679): stride-4 of valid,
             # compacted to the exact maximum so correspondence runs on a
             # quarter of the slots (loses nothing)
@@ -312,25 +336,44 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
             vsub = point_mask & ((jnp.cumsum(point_mask) - 1) % 4 == 0)
             mpts, mmask = compact_points(
                 points, vsub, max(points.shape[0] // 4, 512))
-            cloud = cloud_constraint_rows(body, model, mpts, mmask,
-                                          origin=camera_pose[:3],
-                                          use_kernel=config.use_pallas)
-            scale = cloudforce * jnp.where(cloud.b1 == 0, 0.1, 1.0)
-            cloud = scale_cloud_forces(cloud, scale)
-            if colored:
-                from ..physics.colored import pack_single_body_linear
-                single_blocks.append(pack_single_body_linear(
-                    cloud, body.pose.shape[0], config.cloud_rows_per_body))
+            if kernel and config.use_pallas:
+                from ..ops.cloud_rows import cloud_rows_packed
+                scale_b = cloudforce * jnp.where(
+                    jnp.arange(body.pose.shape[0]) == 0, 0.1, 1.0)
+                blk, _ = cloud_rows_packed(body, model, mpts, mmask,
+                                           camera_pose[:3], scale_b,
+                                           config.cloud_rows_per_body)
+                single_blocks.append(blk)
             else:
-                linears.append(cloud)
+                cloud = cloud_constraint_rows(body, model, mpts, mmask,
+                                              origin=camera_pose[:3],
+                                              use_kernel=config.use_pallas)
+                scale = cloudforce * jnp.where(cloud.b1 == 0, 0.1, 1.0)
+                cloud = scale_cloud_forces(cloud, scale)
+                if colored or kernel:
+                    from ..physics.colored import pack_single_body_linear
+                    single_blocks.append(pack_single_body_linear(
+                        cloud, body.pose.shape[0], config.cloud_rows_per_body))
+                else:
+                    linears.append(cloud)
 
         armdir = qrot(pose_quat(camera_pose), jnp.asarray([0.0, -1, 0]))
         enh, rmin, rmax = hand_model_enhancements(body, model, params, armdir)
-        if colored:
+        if kernel:
+            extra_ang.append(enh)
+        elif colored:
             from ..physics.schedule import pair_angular
             ang_blocks.append(pair_angular(enh, schedule.enh_cone))
         else:
             angulars.append(enh)
+
+        plan = None
+        if kernel:
+            from ..physics.pgs_kernel import build_multistep_plan
+            cs = sum(int(b.targetdist.shape[0]) for b in single_blocks)
+            plan = build_multistep_plan(model, cs, has_angles,
+                                        config.contacts_mode,
+                                        bool(config.physics_use_collision))
 
         body = fit_point_cloud(
             body, model, params,
@@ -346,7 +389,8 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
             schedule=schedule, single_blocks=single_blocks,
             angular_pair_blocks=ang_blocks,
             cloud_slots=config.cloud_rows_per_body,
-            use_kernel=config.use_pallas)
+            use_kernel=config.use_pallas, pgs_plan=plan,
+            extra_ang_class_rows=extra_ang)
         body = body._replace(linear_momentum=jnp.zeros_like(body.linear_momentum),
                              angular_momentum=jnp.zeros_like(body.angular_momentum))
     return sanity_check(body, bp)
@@ -356,6 +400,7 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
 # update_cnn_model (handtrack.h:693-746)
 # ---------------------------------------------------------------------------
 
+@_full_precision
 def update_cnn_model(state: TrackerState, model, cnn_params, depth,
                      cam: DCamera, config: TrackerConfig, params,
                      schedule=None):
@@ -368,9 +413,10 @@ def update_cnn_model(state: TrackerState, model, cnn_params, depth,
     cnn_output = cnn_forward(cnn_params, cnn_input[None])[0]
     analysis = analyze_cnn_output(cnn_output, hcam)
 
-    pts_all, mask_all = point_cloud(depth, cam, *drange)
-    vsub = mask_all & ((jnp.cumsum(mask_all) - 1) % config.subsample_fraction == 0)
-    vpts, vmask = compact_points(pts_all, vsub, config.point_budget)
+    from ..imaging.image_ops import cloud_from_depth
+    vpts, vmask = cloud_from_depth(depth, cam, drange[0], drange[1],
+                                   config.subsample_fraction,
+                                   config.point_budget)
 
     olderror = fit_error(state.body, model, vpts, vmask, depth, cam,
                          config.bone_sum_error_scale,
@@ -432,31 +478,43 @@ BOUNDARY_OUTDIRS = ((-1.0, -0.25, 0.0), (-1.0, -1.0, 0.0), (0.0, -1.0, 0.0),
                     (1.0, -1.0, 0.0), (1.0, -0.25, 0.0))  # handtrack.h:776
 
 
+@_full_precision
 def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
-           config: TrackerConfig, params=None, schedule=None):
-    """Per-frame tracking step.  Returns (state, user poses (17,7), debug)."""
+           config: TrackerConfig, params=None, schedule=None, run_cnn=None):
+    """Per-frame tracking step.  Returns (state, user poses (17,7), debug).
+    run_cnn overrides config.cnn_every_frame for this call (static bool) —
+    the cadence hook used by parallel.tracks.track_sequences."""
     if params is None:
         params = physics_params(config)
     colored = config.solver == "colored"
+    kernel = config.solver == "kernel"
     if colored and schedule is None:
         from ..physics.schedule import build_hand_schedule
         schedule = build_hand_schedule(model, config.contacts_mode)
     if not colored:
         schedule = None
-    pts_all, mask_all = point_cloud(depth, cam, 0.1, config.drangey)
+    plan = None
+    if kernel:
+        from ..physics.pgs_kernel import build_dynamics_plan
+        cs = config.cloud_rows_per_body + (len(BOUNDARY_OUTDIRS)
+                                           if config.boundary_planes else 0)
+        plan = build_dynamics_plan(model, cs, config.contacts_mode,
+                                   bool(config.physics_use_collision))
     if config.subsample_voxel:
+        pts_all, mask_all = point_cloud(depth, cam, 0.1, config.drangey)
         from ..imaging.image_ops import voxel_subsample
         vp, vm = voxel_subsample(pts_all, mask_all, config.subsample_size,
                                  config.subsample_fraction)
         points, mask = compact_points(vp, vm, config.point_budget)
     else:
-        sub = mask_all & ((jnp.cumsum(mask_all) - 1)
-                          % config.subsample_fraction == 0)
-        points, mask = compact_points(pts_all, sub, config.point_budget)
+        from ..imaging.image_ops import cloud_from_depth
+        points, mask = cloud_from_depth(depth, cam, 0.1, config.drangey,
+                                        config.subsample_fraction,
+                                        config.point_budget)
     npts = mask.sum()
 
     dbg = None
-    if config.cnn_every_frame:
+    if config.cnn_every_frame if run_cnn is None else run_cnn:
         state, dbg = update_cnn_model(state, model, cnn_params, depth, cam,
                                       config, params, schedule=schedule)
 
@@ -474,7 +532,7 @@ def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
                     body, model, points, mask, BOUNDARY_OUTDIRS,
                     jnp.zeros(3), jnp.asarray([0.0, 0, 1]), 10.0,
                     active=npts > config.min_point_num)
-                if colored:
+                if colored or kernel:
                     from ..fitting.cloud import rows_to_single_block
                     single_blocks.append(rows_to_single_block(
                         chamber, (len(BOUNDARY_OUTDIRS), body.pose.shape[0])))
@@ -482,7 +540,8 @@ def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
                     linears = chamber
             body = fit_point_cloud(
                 body, model, params, points, mask,
-                linears=linears, angulars=None if colored else enh,
+                linears=linears, angulars=enh if not (colored or kernel)
+                else None,
                 microforce=config.microforce,
                 rangemin=rmin, rangemax=rmax,
                 iterations=config.physics_iterations,
@@ -490,7 +549,7 @@ def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
                 contacts_fn=contacts_fn,
                 schedule=schedule, single_blocks=single_blocks,
                 cloud_slots=config.cloud_rows_per_body,
-                use_kernel=config.use_pallas)
+                use_kernel=config.use_pallas, pgs_plan=plan)
 
     initializing = jnp.where(npts < config.min_point_num, 50,
                              state.initializing)
@@ -502,6 +561,7 @@ def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
 # slowfit (handtrack.h:786-821) — annotation-grade fit
 # ---------------------------------------------------------------------------
 
+@_full_precision
 def slowfit(state: TrackerState, model, points, mask, config: TrackerConfig,
             params, hold: int = 0, refpose=None, steps: int = 6,
             crays=None, select_bone: int | None = None, spoint=None,

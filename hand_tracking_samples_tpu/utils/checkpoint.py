@@ -23,12 +23,10 @@ def save_orbax(path: str, tree):
     ckptr.wait_until_finished()
 
 
-def load_orbax(path: str, like):
+def load_orbax(path: str):
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), target_type=type(like),
-                         args=None) if False else ckptr.restore(
-        os.path.abspath(path))
+    return ckptr.restore(os.path.abspath(path))
 
 
 def save_tracker_state(path: str, state):
