@@ -131,6 +131,25 @@ def train_epoch(params, data: TrainingSet, rng: np.random.RandomState,
     return params, float(np.mean(mses))
 
 
+def train_epoch_scanned(params, data: TrainingSet, rng: np.random.RandomState,
+                        steps: int, batch_size: int = 64,
+                        alpha: float = 0.001, train_split: str = "even"):
+    """Same semantics as train_epoch, but the whole epoch runs as ONE
+    lax.scan on-device over pre-sampled batch indices — essential on the
+    tunnelled TPU where each dispatch costs more than the step itself."""
+    n = data.inputs.shape[0]
+    pool = np.arange(0, n, 2) if train_split == "even" else np.arange(n)
+    idx = jnp.asarray(rng.choice(pool, (steps, batch_size)))
+
+    def body(params, ix):
+        params, mse = sgd_step(params, data.inputs[ix], data.labels[ix],
+                               alpha)
+        return params, mse
+
+    params, mses = jax.lax.scan(body, params, idx)
+    return params, float(jnp.mean(mses))
+
+
 def evaluate(params, data: TrainingSet, split: str = "odd",
              batch_size: int = 256):
     """Held-out mse + mean landmark pixel error on the 16x16 heatmaps."""

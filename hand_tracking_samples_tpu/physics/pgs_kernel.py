@@ -246,7 +246,9 @@ def _make_kernel(plan: SolvePlan, iterations: int, iterations_post: int):
             imp = (-ts - vn) * dinv
             isc = isum_ref[pl.ds(p * W, W)]
             if cls.friction:
-                mst = isum_ref[pl.ds((p // U) * (U * W), W)]
+                # master = the contact's normal row, 2 phases up (rows are
+                # [n, fb, ft] per contact point; physics.h:292)
+                mst = isum_ref[pl.ds((p // 3) * (3 * W), W)]
             else:
                 mst = isc
             hi = fmaxD + fcoef * mst
@@ -662,12 +664,13 @@ def build_dynamics_plan(model, CS: int, contacts_mode: str = "exact",
     B = massinv.shape[0]
     j0 = np.asarray(model.joint_rbi0)
     j1 = np.asarray(model.joint_rbi1)
+    from .contacts import CONTACT_POINTS
     lin_classes = [build_pair_class("lin", j0, j1, 3, massinv, B)]
     if use_contacts:
         pairs = np.asarray(model.collide_pairs)
         lin_classes.append(build_pair_class(
-            "lin", pairs[:, 0], pairs[:, 1], 3, massinv, B, friction=True,
-            mode=contacts_mode))
+            "lin", pairs[:, 0], pairs[:, 1], 3 * CONTACT_POINTS, massinv, B,
+            friction=True, mode=contacts_mode))
     ang_classes = [build_pair_class("ang", j0, j1, 6, massinv, B)]
     return register_plan(SolvePlan(key=key, CS=CS,
                                    lin_classes=tuple(lin_classes),
@@ -689,12 +692,13 @@ def build_multistep_plan(model, CS: int, has_angles: bool,
     B = massinv.shape[0]
     j0 = np.asarray(model.joint_rbi0)
     j1 = np.asarray(model.joint_rbi1)
+    from .contacts import CONTACT_POINTS
     lin_classes = [build_pair_class("lin", j0, j1, 3, massinv, B)]
     if use_contacts:
         pairs = np.asarray(model.collide_pairs)
         lin_classes.append(build_pair_class(
-            "lin", pairs[:, 0], pairs[:, 1], 3, massinv, B, friction=True,
-            mode=contacts_mode))
+            "lin", pairs[:, 0], pairs[:, 1], 3 * CONTACT_POINTS, massinv, B,
+            friction=True, mode=contacts_mode))
     ang_classes = []
     if has_angles:
         # tracker.runtime.apply_angles emission: drive (world,1) then cones

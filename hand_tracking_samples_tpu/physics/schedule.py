@@ -52,15 +52,15 @@ def build_hand_schedule(model, contacts_mode: str = "exact") -> HandSchedule:
     # angular ranges: 6 slots per joint (constraints.constrain_angular_range)
     joint_ang = _exact(np.repeat(j0, 6), np.repeat(j1, 6), B)
 
-    # contacts: 3 rows (normal, fb, ft) per static pair
+    # contacts: CONTACT_POINTS x 3 rows (normal, fb, ft) per static pair
+    from .contacts import CONTACT_POINTS
+    U = 3 * CONTACT_POINTS
     pairs = np.asarray(model.collide_pairs)
-    c0 = np.repeat(pairs[:, 0], 3)
-    c1 = np.repeat(pairs[:, 1], 3)
+    c0 = np.repeat(pairs[:, 0], U)
+    c1 = np.repeat(pairs[:, 1], U)
     if contacts_mode == "jacobi":
         npair = len(pairs)
-        phases = [list(range(0, 3 * npair, 3)),
-                  list(range(1, 3 * npair, 3)),
-                  list(range(2, 3 * npair, 3))]
+        phases = [list(range(r, U * npair, U)) for r in range(U)]
         contact = _jacobi(c0, c1, B, phases)
     else:
         contact = _exact(c0, c1, B)

@@ -30,6 +30,7 @@ template <class T, int M> ::json::value to_json(const vec<T, M> &o) { return ::t
 #include "include/physmodel.h"
 #include "include/handtrack.h"
 #include "include/misc_image.h"
+#include "include/dataset.h"
 
 static std::ostringstream g_out;
 static bool g_first_in_scope = true;
@@ -505,6 +506,142 @@ int main(int argc, char **argv) {
         for (int f = 0; f < NFRAMES; f++)
             for (auto &p : bank[(f * 7) % bank.size()]) gt.push_back(p);
         dump_pose_array("synctrack_gt", gt);
+    }
+
+    // ---- contact generation + contact-solve goldens ----
+    // (gjk ContactPatch path: gjk.h:608-643 consumed at physics.h:451-489)
+    {
+        std::ifstream ab(anim_path);
+        std::vector<std::vector<Pose>> bank;
+        std::string line;
+        while (std::getline(ab, line) && line != "") {
+            std::vector<Pose> pose(17);
+            std::stringstream ls(line);
+            for (auto &p : pose) ls >> p;
+            bank.push_back(pose);
+        }
+        // the tracker's model: vert shrink hack + thumb ignores
+        // (handtrack.h:347-366) + the bone-2-ignores-everything rule that
+        // HandModelEnhancements installs on first call (handtrack.h:408-415).
+        // Applied manually: the enhancement call also mutates distal joint
+        // ranges pose-dependently, which must NOT leak into these goldens.
+        PhysModel m = LoadHandModel();
+        for (auto &rb : m.rigidbodies) if (&rb != &m.rigidbodies[2]) {
+            m.rigidbodies[2].ignore.push_back(&rb);
+            rb.ignore.push_back(&m.rigidbodies[2]);
+        }
+        physics_gravity = {0, 0, 0};
+        physics_driftmax = 0.03f / 8.0f;
+        // scan the bank for self-contact-rich poses
+        std::vector<float> scan;
+        int best_frame = 0;
+        size_t best_n = 0;
+        for (int f = 0; f + 1 < (int)bank.size(); f += 25) {
+            m.SetPose(bank[f]);
+            auto rows = CollisionConstraints(Addresses(m.rigidbodies), {});
+            scan.push_back((float)f);
+            scan.push_back((float)rows.size());
+            if (rows.size() > best_n) { best_n = rows.size(); best_frame = f; }
+        }
+        dump_floats("contact_scan", scan.data(), scan.size());
+        float bf = (float)best_frame;
+        dump_floats("contact_frame", &bf, 1);
+        m.SetPose(bank[best_frame]);
+        for (auto &rb : m.rigidbodies) {
+            rb.linear_momentum = {0, 0, 0};
+            rb.angular_momentum = {0, 0, 0};
+        }
+        dump_pose_array("contact_pose_in", m.GetPose());
+        auto rbs = Addresses(m.rigidbodies);
+        auto rows = CollisionConstraints(rbs, {});
+        std::vector<float> rr;
+        for (auto &c : rows) {
+            rr.push_back((float)IndexOf(rbs, c.rb0));
+            rr.push_back((float)IndexOf(rbs, c.rb1));
+            rr.insert(rr.end(), {c.normal.x, c.normal.y, c.normal.z});
+            rr.push_back(c.targetdist);
+            rr.push_back(c.targetspeednobias);
+            rr.push_back((float)c.friction_master);
+            rr.insert(rr.end(), {c.position0.x, c.position0.y, c.position0.z});
+            rr.insert(rr.end(), {c.position1.x, c.position1.y, c.position1.z});
+        }
+        dump_floats("contact_rows", rr.data(), rr.size());
+        // contact-solve: 3 joint+contact updates from the clenched pose
+        physics_use_collision = 1;
+        for (int it = 0; it < 3; it++) {
+            auto lin = m.GetLinearConstraints();
+            auto ang = m.GetAngularConstraints();
+            PhysicsUpdate(Addresses(m.rigidbodies), lin, ang, {});
+            char k[32];
+            snprintf(k, sizeof(k), "contact_pose_it%d", it);
+            dump_pose_array(k, m.GetPose());
+        }
+        dump_pose_array("contact_pose_out", m.GetPose());
+        // joints-only control from the same pose (isolates the contact
+        // model's contribution to any deviation)
+        physics_use_collision = 0;
+        m.SetPose(bank[best_frame]);
+        for (auto &rb : m.rigidbodies) {
+            rb.linear_momentum = {0, 0, 0};
+            rb.angular_momentum = {0, 0, 0};
+        }
+        for (int it = 0; it < 3; it++) {
+            auto lin = m.GetLinearConstraints();
+            auto ang = m.GetAngularConstraints();
+            PhysicsUpdate(Addresses(m.rigidbodies), lin, ang, {});
+        }
+        dump_pose_array("contact_pose_out_nocollide", m.GetPose());
+        physics_use_collision = 1;
+        // row-level joint constraints at the clench pose (axis, targetspin,
+        // mintorque, maxtorque per emitted row; joint boundaries via counts)
+        m.SetPose(bank[best_frame]);
+        {
+            std::vector<float> ar, counts;
+            for (auto &joint : m.joints) {
+                auto rows = ConstrainAngularRange(
+                    &m.rigidbodies[joint.rbi0], &m.rigidbodies[joint.rbi1],
+                    joint.jointframe, joint.rangemin, joint.rangemax);
+                counts.push_back((float)rows.size());
+                for (auto &r : rows) {
+                    ar.insert(ar.end(), {r.axis.x, r.axis.y, r.axis.z});
+                    ar.push_back(r.targetspin);
+                    ar.push_back(std::max(r.mintorque, -1e30f));
+                    ar.push_back(std::min(r.maxtorque, 1e30f));
+                }
+            }
+            dump_floats("clench_ang_counts", counts.data(), counts.size());
+            dump_floats("clench_ang_rows", ar.data(), ar.size());
+        }
+    }
+
+    // ---- recorded-replay dynamics tracking golden (argv[5] = basename of a
+    // dataset written by the TPU framework's DatasetWriter; proves on-disk
+    // format interop + tracking parity on replayed recordings) ----
+    if (argc > 5) {
+        physics_use_collision = 1;
+        auto frames = load_dataset(argv[5], 17, [](Frame &f) {});
+        std::vector<float> info = {(float)frames.size()};
+        dump_floats("replay_n_frames", info.data(), 1);
+        PhysModel tracked = LoadHandModel();
+        tracked.SetPose(frames[0].pose);
+        std::vector<Pose> rposes;
+        for (auto &fr : frames) {
+            auto &dimage = fr.depth;
+            auto points = takesubsample(PointCloud(dimage, {0.1f, 0.7f}), 4);
+            std::vector<LimitLinear> linears;
+            std::vector<LimitAngular> angulars;
+            HandModelEnhancements(tracked, angulars, false, float3(0, 0, 0),
+                                  float3(0, 0, 0), 0);
+            if (points.size() > 400) {
+                std::vector<float3> outdirs = {float3(-1, -0.25f, 0), float3(-1, -1, 0),
+                                               float3(0, -1, 0), float3(1, -1, 0), float3(1, -0.25f, 0)};
+                Append(linears, cloud_chamber(tracked, points, outdirs,
+                                              {0, 0, 0}, {0, 0, 1}, 10.0f));
+            }
+            tracked.FitPointCloud(points, linears, angulars, 1.0f);
+            for (auto &p : tracked.GetPose()) rposes.push_back(p);
+        }
+        dump_pose_array("replay_dyntrack_poses", rposes);
     }
 
     g_out << "\n}\n";
