@@ -42,11 +42,92 @@ SOLVER = os.environ.get("BENCH_SOLVER", "colored")
 CLOUD_ROWS = int(os.environ.get("BENCH_CLOUD_ROWS", "128"))
 
 
+def emit(metric, value, baseline):
+    print(json.dumps({"metric": metric, "value": round(value, 1),
+                      "unit": ("frames/s/chip" if "fps" in metric or
+                               "frames" in metric else "examples/s/chip"),
+                      "vs_baseline": round(value / baseline, 2)}))
+
+
+def bench_cnn_forward():
+    """BASELINE config 2: trained net on 64x64 depth crops."""
+    from hand_tracking_samples_tpu.assets_paths import DEFAULT_CNNB
+    from hand_tracking_samples_tpu.cnn.model import forward, load_cnnb
+    params = load_cnnb(DEFAULT_CNNB)
+    B = 1024
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(B, 64, 64).astype(np.float32))
+    f = jax.jit(forward)
+    jax.block_until_ready(f(params, x))
+    t0 = time.time()
+    for _ in range(20):
+        y = f(params, x)
+    jax.block_until_ready(y)
+    # reference: single-example SSE forward at interactive rates (~60/s)
+    emit("cnn_forward_crops_per_sec_per_chip", 20 * B / (time.time() - t0),
+         60.0)
+
+
+def bench_train():
+    """BASELINE config 4: forward+backward SGD examples/s (reference: 1
+    example/step single-threaded, "hours... overnight")."""
+    from hand_tracking_samples_tpu.cnn.model import init_params, sgd_step
+    B, STEPS = 128, 200
+    rng = np.random.RandomState(0)
+    params = init_params(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.rand(STEPS, B, 64, 64).astype(np.float32))
+    t = jnp.asarray(rng.rand(STEPS, B, 2304).astype(np.float32))
+
+    def run(params, x, t):
+        def body(p, xt):
+            p, mse = sgd_step(p, xt[0], xt[1], 0.001)
+            return p, mse
+        return jax.lax.scan(body, params, (x, t))
+
+    f = jax.jit(run)
+    jax.block_until_ready(f(params, x, t))
+    t0 = time.time()
+    out = f(params, x, t)
+    jax.block_until_ready(out)
+    # reference ~ "hours overnight" for ~100k steps -> O(10) examples/s
+    emit("train_sgd_examples_per_sec_per_chip",
+         STEPS * B / (time.time() - t0), 10.0)
+
+
+def bench_export(model, bank, cam):
+    """BASELINE config 5: dataset-exporter throughput mode — segmentation +
+    CNN-label rendering per frame, batched (PNG encoding is host IO and
+    excluded; the reference's number includes it)."""
+    from hand_tracking_samples_tpu.cnn.labels import gather_hand_expected
+    from hand_tracking_samples_tpu.cnn.train import compress_frame
+    T = 512
+    ids = (np.arange(T) * 11) % len(bank)
+    poses = jnp.asarray(bank[ids])
+    render = jax.jit(jax.vmap(lambda p: fake_depth(p, model, cam)))
+    depths = jnp.concatenate([render(poses[i:i + 256])
+                              for i in range(0, T, 256)])
+    f = jax.jit(jax.vmap(lambda d, p: compress_frame(d, cam, p)))
+    jax.block_until_ready(f(depths, poses))
+    t0 = time.time()
+    for _ in range(5):
+        out = f(depths, poses)
+    jax.block_until_ready(out)
+    emit("export_segment_label_frames_per_sec_per_chip",
+         5 * T / (time.time() - t0), 60.0)
+
+
 def main():
     model = jtu.tree_map(jnp.asarray, load_hand_model(MODEL_JSON))
     bank = load_animbank(ANIMBANK)
     cam = synth_camera()
-    full = os.environ.get("BENCH_MODE", "dynamics") == "full"
+    mode = os.environ.get("BENCH_MODE", "dynamics")
+    if mode == "cnn":
+        return bench_cnn_forward()
+    if mode == "train":
+        return bench_train()
+    if mode == "export":
+        return bench_export(model, bank, cam)
+    full = mode == "full"
     config = TrackerConfig(point_budget=POINT_BUDGET, cnn_every_frame=full,
                            cnn_every_k=int(os.environ.get("BENCH_CNN_K", "1")),
                            solver=SOLVER, cloud_rows_per_body=CLOUD_ROWS,
@@ -96,6 +177,27 @@ def main():
     # in the tracking regime (not diverged)
     err = float(jnp.linalg.norm(
         out_states.body.pose[:, :, :3] - poses[-1][:, :, :3], axis=-1).mean())
+
+    # cloud-row drop accounting: rows lost to the per-body slot cap on the
+    # final frame (reference semantics have no cap, physmodel.h:163-181)
+    from hand_tracking_samples_tpu.imaging.image_ops import cloud_from_depth
+    from hand_tracking_samples_tpu.fitting.cloud import closest_planes
+
+    def drops(state, depth):
+        pts, mask = cloud_from_depth(depth, cam, 0.1, config.drangey,
+                                     config.subsample_fraction,
+                                     config.point_budget)
+        body, _, _ = closest_planes(state, model, pts, mask)
+        cnt = jnp.zeros(17, jnp.int32).at[body].add(mask.astype(jnp.int32))
+        return jnp.maximum(cnt - config.cloud_rows_per_body, 0).sum(), mask.sum()
+
+    dr, tot = jax.jit(jax.vmap(lambda s, d: drops(s, d)))(
+        out_states.body, depths[-1])
+    drop_rate = float(dr.sum()) / max(float(tot.sum()), 1.0)
+    sys.stderr.write(
+        f"# cloud rows dropped by cloud_rows_per_body={CLOUD_ROWS} cap: "
+        f"{float(dr.sum())/N_TRACKS:.1f}/track ({drop_rate*100:.1f}% of "
+        f"points)\n")
     sys.stderr.write(
         f"# tracks={N_TRACKS} frames={N_FRAMES} warmup={compile_and_run:.1f}s "
         f"run={dt:.3f}s mean_joint_err={err*1000:.2f}mm devices={jax.devices()}\n"

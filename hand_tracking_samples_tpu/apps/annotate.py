@@ -37,6 +37,17 @@ def main(argv=None):
     ap.add_argument("--kickstart", type=int, default=5,
                     help="CNN kickstart frames before slowfitting")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--revert-worse", action="store_true",
+                    help="per-frame accept/revert: keep the original "
+                    "annotation when the refit's fit error is worse (the "
+                    "annotation-fixer's per-frame startpose undo, "
+                    "annotation-fixer.cpp:152-158, as a batch policy)")
+    ap.add_argument("--delete-frames", default="",
+                    help="comma-separated frame indices to drop from the "
+                    "output (the fixer's frame-delete)")
+    ap.add_argument("--inspect", action="store_true",
+                    help="print per-frame fit errors (old vs refit) and exit "
+                    "without writing")
     args = ap.parse_args(argv)
 
     from ..cnn.model import load_cnnb
@@ -58,6 +69,11 @@ def main(argv=None):
     for rec in args.recordings:
         bname = rec[:-3] if rec.endswith(".rs") else rec
         ds = load_dataset(bname)
+        if ds.info.mirror_plane():
+            import dataclasses
+            config = dataclasses.replace(
+                config, mirror_plane=ds.info.mirror_plane())
+            print(f"mirror rig: applying MirrorPlaneSplit {ds.info.mplane}")
         cam = ds.info.camera()
         F = len(ds.depth) if not args.max_frames else min(args.max_frames,
                                                           len(ds.depth))
@@ -83,24 +99,44 @@ def main(argv=None):
         fe = jax.jit(lambda s, p, m, d: fit_error(s.body, model, p, m, d, cam))
 
         out_poses = np.zeros((F, 17, 7), np.float32)
-        errors = []
-        refpose = jnp.asarray(ds.pose[0]) if np.abs(ds.pose).sum() > 0 \
+        errors, reverted = [], 0
+        has_start = np.abs(ds.pose).sum() > 0
+        refpose = jnp.asarray(ds.pose[0]) if has_start \
             else jnp.asarray(model.start_pose)
         for f in range(F):
             depth = jnp.asarray(ds.depth[f])
             if f < do_kickstart:
                 state = ks(state, depth)
             pts, mask = points_of(depth)
+            # startpose = the frame's existing annotation (dataset.h:44)
+            startpose = ds.pose[f] if has_start else None
             state = sf(state, pts, mask, refpose)
+            err_new = float(fe(state, pts, mask, depth))
+            if (args.revert_worse or args.inspect) and startpose is not None:
+                st_old = state._replace(body=state.body._replace(
+                    pose=jnp.asarray(startpose)))
+                err_old = float(fe(st_old, pts, mask, depth))
+                if args.inspect:
+                    print(f"  frame {f:4d}: old {err_old:.4f} "
+                          f"refit {err_new:.4f}"
+                          f"{'  (would revert)' if err_new > err_old else ''}")
+                if args.revert_worse and err_new > err_old:
+                    state = st_old      # per-frame undo: keep the annotation
+                    err_new = err_old
+                    reverted += 1
             out_poses[f] = np.asarray(state.body.pose)
-            errors.append(float(fe(state, pts, mask, depth)))
+            errors.append(err_new)
         print(f"{bname}: slowfit {F} frames, mean fit error "
-              f"{np.mean(errors):.4f}")
-        if args.out:
+              f"{np.mean(errors):.4f}"
+              + (f", reverted {reverted}" if args.revert_worse else ""))
+        if args.out and not args.inspect:
+            drop = {int(i) for i in args.delete_frames.split(",") if i}
+            keep = [f for f in range(F) if f not in drop]
             with DatasetWriter(args.out, ds.info) as w:
-                w.save_frames(ds.depth[:F], out_poses,
-                              None if ds.ir is None else ds.ir[:F])
-            print(f"  wrote {args.out}.rs/.pose/.json")
+                w.save_frames(ds.depth[keep], out_poses[keep],
+                              None if ds.ir is None else ds.ir[keep])
+            print(f"  wrote {args.out}.rs/.pose/.json ({len(keep)} frames"
+                  + (f", dropped {sorted(drop)}" if drop else "") + ")")
 
 
 if __name__ == "__main__":

@@ -58,6 +58,11 @@ def main(argv=None):
     for rec in args.recordings:
         bname = rec[:-3] if rec.endswith(".rs") else rec
         ds = load_dataset(bname)
+        if ds.info.mirror_plane():
+            import dataclasses
+            config = dataclasses.replace(
+                config, mirror_plane=ds.info.mirror_plane())
+            print(f"mirror rig: applying MirrorPlaneSplit {ds.info.mplane}")
         cam = ds.info.camera()
         depth = ds.depth
         if args.filter == "ivy":

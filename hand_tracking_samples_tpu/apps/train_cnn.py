@@ -52,11 +52,30 @@ def main(argv=None):
 
     model = jtu.tree_map(jnp.asarray, load_hand_model(args.model))
     sets = []
-    for rec in args.recordings:
-        bname = rec[:-3] if rec.endswith(".rs") else rec
-        ds = load_dataset(bname)
-        print(f"compressing {bname}: {len(ds.depth)} frames")
-        sets.append(compress_dataset(ds.depth, ds.info.camera(), ds.pose))
+    if args.recordings:
+        # stream recordings through the C++ threaded reader (overlaps disk IO
+        # with the TPU-side compress, like the reference's background loader
+        # thread, train-cnn.cpp:61,126-138); camera comes from the .json
+        from ..cnn.train import compress_frame
+        from ..native import StreamingLoader
+        bnames = [r[:-3] if r.endswith(".rs") else r for r in args.recordings]
+        for bname in bnames:
+            import json as _json
+            from ..data.dataset import DatasetInfo
+            with open(bname + ".json") as f:
+                cam = DatasetInfo.from_json_dict(_json.load(f)).camera()
+            fn = jax.jit(jax.vmap(lambda d, p: compress_frame(d, cam, p)))
+            xs, ls, ps = [], [], []
+            with StreamingLoader([bname], batch=64) as sl:
+                print(f"streaming {bname}: {sl.total_frames} frames")
+                for depth, pose, _ in sl:
+                    x, l, p = fn(jnp.asarray(depth), jnp.asarray(pose))
+                    xs.append(x)
+                    ls.append(l)
+                    ps.append(p)
+            from ..cnn.train import TrainingSet as TS
+            sets.append(TS(jnp.concatenate(xs), jnp.concatenate(ls),
+                           jnp.concatenate(ps)))
     if args.synthetic:
         bank = load_animbank(args.animbank)
         ids = (np.arange(args.synthetic) * 613) % len(bank)

@@ -70,6 +70,14 @@ class DatasetInfo:
             segment_scale=float(js.get("segment_scale", 0.17)),
         )
 
+    def mirror_plane(self) -> tuple:
+        """The dataset's mirror-rig plane, or () when absent.  The reference
+        stores sentinels (0,0,0,0)/(0,0,0,FLT_MAX) for no-mirror
+        (dataset.h:24,45); a real plane has a unit-ish normal."""
+        n = self.mplane[:3]
+        return tuple(self.mplane) if (n[0] ** 2 + n[1] ** 2 + n[2] ** 2) > 0.25 \
+            else ()
+
     def camera(self) -> DCamera:
         return DCamera.make(self.dims, self.focal, self.principal,
                             self.depth_scale)

@@ -59,6 +59,10 @@ class TrackerConfig:
     # requires point budgets that are multiples of 512
     contacts_mode: str = "exact"    # "exact" precedence schedule or "jacobi"
     # (one parallel phase per row kind; measured deviation << parity gate)
+    mirror_plane: tuple = ()        # mirror-rig plane (a,b,c,d): cloud points
+    # under it are reflected back into the scene and the coplanar band is
+    # dropped (misc_image.h:480-485 MirrorPlaneSplit; the reference parses
+    # mplane from datasets — dcam.h mirror rigs).  Empty = no mirror.
 
     def load_json(self, path: str) -> "TrackerConfig":
         """HandTracker::load_config (handtrack.h:822-828)."""

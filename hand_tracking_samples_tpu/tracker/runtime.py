@@ -417,6 +417,10 @@ def update_cnn_model(state: TrackerState, model, cnn_params, depth,
     vpts, vmask = cloud_from_depth(depth, cam, drange[0], drange[1],
                                    config.subsample_fraction,
                                    config.point_budget)
+    if config.mirror_plane:
+        from ..imaging.image_ops import mirror_plane_split
+        vpts, vmask = mirror_plane_split(
+            vpts, vmask, jnp.asarray(config.mirror_plane, jnp.float32))
 
     olderror = fit_error(state.body, model, vpts, vmask, depth, cam,
                          config.bone_sum_error_scale,
@@ -511,6 +515,10 @@ def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
         points, mask = cloud_from_depth(depth, cam, 0.1, config.drangey,
                                         config.subsample_fraction,
                                         config.point_budget)
+    if config.mirror_plane:
+        from ..imaging.image_ops import mirror_plane_split
+        points, mask = mirror_plane_split(
+            points, mask, jnp.asarray(config.mirror_plane, jnp.float32))
     npts = mask.sum()
 
     dbg = None

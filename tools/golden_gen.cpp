@@ -644,6 +644,26 @@ int main(int argc, char **argv) {
         dump_pose_array("replay_dyntrack_poses", rposes);
     }
 
+    // ---- wingmesh primitive goldens (box/cylinder/cone/crop/dual) ----
+    {
+        auto dumpwm = [&](const std::string &k, const WingMesh &wm) {
+            dump_float3s((k + "_verts").c_str(), wm.verts);
+            std::vector<float> pf;
+            for (auto &p : wm.faces) pf.insert(pf.end(), {p.x, p.y, p.z, p.w});
+            dump_floats((k + "_planes").c_str(), pf.data(), pf.size());
+        };
+        WingMesh box = WingMeshBox({-0.2f, -0.3f, -0.1f}, {0.25f, 0.15f, 0.35f});
+        dumpwm("wm_box", box);
+        WingMesh cyl = WingMeshCylinder(8, 0.5f, 1.25f);
+        dumpwm("wm_cyl", cyl);
+        WingMesh cone = WingMeshCone(7, 0.4f, 0.9f);
+        dumpwm("wm_cone", cone);
+        WingMesh crop = WingMeshCrop(box, float4(normalize(float3(1, 2, 3)), -0.05f));
+        dumpwm("wm_crop", crop);
+        WingMesh dual = WingMeshDual(WingMeshCube(0.5f), 0.6f);
+        dumpwm("wm_dual", dual);
+    }
+
     g_out << "\n}\n";
     std::ofstream f(outdir + "/golden.json");
     f << g_out.str();

@@ -30,24 +30,35 @@ WARM = os.environ.get("TRAIN_WARM", "")
 
 
 def main():
-    model = jtu.tree_map(jnp.asarray, load_hand_model(DEFAULT_MODEL_JSON))
-    bank = load_animbank(DEFAULT_ANIMBANK)
-    ids = np.arange(len(bank))
+    cache = os.environ.get("TRAIN_CACHE", "/tmp/train_v3_set.npz")
     t0 = time.time()
-    sets = [synthetic_training_set(model, bank, ids)]
-    for k in range(AUG_COPIES):
-        sets.append(synthetic_training_set(model, bank, ids, augment=True,
-                                           seed=1000 * (k + 1)))
-    data = TrainingSet(*[jnp.concatenate(xs) for xs in zip(*sets)])
-    print(f"training set: {data.inputs.shape[0]} frames "
-          f"({time.time()-t0:.0f}s to render)", flush=True)
+    if cache and os.path.exists(cache):
+        z = np.load(cache)
+        data = TrainingSet(jnp.asarray(z["x"]), jnp.asarray(z["l"]),
+                           jnp.asarray(z["p"]))
+        print(f"training set: {data.inputs.shape[0]} frames (cached)", flush=True)
+    else:
+        model = jtu.tree_map(jnp.asarray, load_hand_model(DEFAULT_MODEL_JSON))
+        bank = load_animbank(DEFAULT_ANIMBANK)
+        ids = np.arange(len(bank))
+        sets = [synthetic_training_set(model, bank, ids)]
+        for k in range(AUG_COPIES):
+            sets.append(synthetic_training_set(model, bank, ids, augment=True,
+                                               seed=1000 * (k + 1)))
+        data = TrainingSet(*[jnp.concatenate(xs) for xs in zip(*sets)])
+        if cache:
+            np.savez(cache, x=np.asarray(data.inputs),
+                     l=np.asarray(data.labels), p=np.asarray(data.poses))
+        print(f"training set: {data.inputs.shape[0]} frames "
+              f"({time.time()-t0:.0f}s to render)", flush=True)
 
     params = load_cnnb(WARM) if WARM else init_params(jax.random.PRNGKey(0))
     rng = np.random.RandomState(7)
     chunk = 2000
     done = 0
     while done < STEPS:
-        alpha = 0.001 if done < STEPS * 2 // 3 else 0.0003
+        alpha = float(os.environ.get("TRAIN_ALPHA", "0")) or (
+            0.001 if done < STEPS * 2 // 3 else 0.0003)
         t0 = time.time()
         params, mse = train_epoch_scanned(params, data, rng, chunk,
                                           batch_size=BATCH, alpha=alpha)
@@ -57,8 +68,8 @@ def main():
             print(f"step {done:6d} alpha {alpha} train-mse {mse:.6f} "
                   f"heldout-mse {ev:.6f} ({time.time()-t0:.1f}s/chunk)",
                   flush=True)
-            save_cnnb(OUT + ".partial", params)
-    save_cnnb(OUT, params)
+            save_cnnb(params, OUT + ".partial")
+    save_cnnb(params, OUT)
     print("saved", OUT)
 
 
