@@ -218,11 +218,16 @@ def _make_kernel(plan: SolvePlan, iterations: int, iterations_post: int):
             imp3 = jnp.concatenate([imp, imp, imp], axis=0)
             return jnp.concatenate([lin + n * imp3, ang + J * imp3], axis=0)
 
-        def lin_phase(cls, refs, isum_ref, p, mom, post):
+        def lin_group(cls, refs, isum_ref, g, mom, post):
+            """All U rows of every unit in group g: ONE gather + ONE scatter.
+
+            The U rows of a unit share one static body pair, so their scatter
+            columns are identical and the sequential Gauss-Seidel sweep over
+            them can run in-register: each row updates the gathered local
+            velocities (l0m, a0, l1m, a1) directly instead of re-gathering
+            after an MXU scatter (physics.h:556-562 row order preserved)."""
             rows_ref, G_ref, S_ref = refs
             U, W = cls.U, cls.W
-            g = p // U
-            blk = rows_ref[p]                           # (21W, T)
             gath = jnp.dot(G_ref[g], mom,
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)  # (12W, T)
@@ -230,86 +235,131 @@ def _make_kernel(plan: SolvePlan, iterations: int, iterations_post: int):
             a0 = gath[3 * W:6 * W]
             l1m = gath[6 * W:9 * W]
             a1 = gath[9 * W:12 * W]
-            n = blk[0:3 * W]
-            J0 = blk[3 * W:6 * W]
-            J1 = blk[6 * W:9 * W]
-            K0 = blk[9 * W:12 * W]
-            K1 = blk[12 * W:15 * W]
-            dinv = blk[15 * W:16 * W]
-            o = 17 if post else 16
-            ts = blk[o * W:(o + 1) * W]
-            fminD = blk[18 * W:19 * W]
-            fmaxD = blk[19 * W:20 * W]
-            fcoef = blk[20 * W:21 * W]
-            vn3 = (l1m - l0m) * n + a1 * K1 - a0 * K0
-            vn = vn3[0:W] + vn3[W:2 * W] + vn3[2 * W:3 * W]
-            imp = (-ts - vn) * dinv
-            isc = isum_ref[pl.ds(p * W, W)]
-            if cls.friction:
-                # master = the contact's normal row, 2 phases up (rows are
-                # [n, fb, ft] per contact point; physics.h:292)
-                mst = isum_ref[pl.ds((p // 3) * (3 * W), W)]
-            else:
-                mst = isc
-            hi = fmaxD + fcoef * mst
-            lo = fminD - fcoef * mst
-            imp = jnp.minimum(imp, hi - isc)
-            imp = jnp.maximum(imp, lo - isc)
-            isum_ref[pl.ds(p * W, W)] = isc + imp
-            imp3 = jnp.concatenate([imp, imp, imp], axis=0)
-            sv = jnp.concatenate([n * imp3, J0 * imp3, J1 * imp3], axis=0)
+            sv = None
+            for u in range(U):
+                p = g * U + u
+                blk = rows_ref[p]                       # (23W, T)
+                n = blk[0:3 * W]
+                J0 = blk[3 * W:6 * W]
+                J1 = blk[6 * W:9 * W]
+                K0 = blk[9 * W:12 * W]
+                K1 = blk[12 * W:15 * W]
+                dinv = blk[15 * W:16 * W]
+                o = 17 if post else 16
+                ts = blk[o * W:(o + 1) * W]
+                fminD = blk[18 * W:19 * W]
+                fmaxD = blk[19 * W:20 * W]
+                fcoef = blk[20 * W:21 * W]
+                mi0 = blk[21 * W:22 * W]
+                mi1 = blk[22 * W:23 * W]
+                vn3 = (l1m - l0m) * n + a1 * K1 - a0 * K0
+                vn = vn3[0:W] + vn3[W:2 * W] + vn3[2 * W:3 * W]
+                imp = (-ts - vn) * dinv
+                isc = isum_ref[pl.ds(p * W, W)]
+                if cls.friction and u % 3 != 0:
+                    # master = the contact's normal row (rows are [n, fb, ft]
+                    # per contact point; physics.h:292) — its isum was updated
+                    # earlier in this unrolled unit loop
+                    mst = isum_ref[pl.ds((g * U + (u // 3) * 3) * W, W)]
+                else:
+                    mst = isc
+                hi = fmaxD + fcoef * mst
+                lo = fminD - fcoef * mst
+                imp = jnp.minimum(imp, hi - isc)
+                imp = jnp.maximum(imp, lo - isc)
+                isum_ref[pl.ds(p * W, W)] = isc + imp
+                imp3 = jnp.concatenate([imp, imp, imp], axis=0)
+                dl = n * imp3
+                da0 = J0 * imp3
+                da1 = J1 * imp3
+                svu = jnp.concatenate([dl, da0, da1], axis=0)
+                sv = svu if sv is None else sv + svu
+                if u + 1 < U:
+                    mi0_3 = jnp.concatenate([mi0, mi0, mi0], axis=0)
+                    mi1_3 = jnp.concatenate([mi1, mi1, mi1], axis=0)
+                    l0m = l0m - mi0_3 * dl
+                    l1m = l1m + mi1_3 * dl
+                    a0 = a0 - da0
+                    a1 = a1 + da1
             return mom + jnp.dot(S_ref[g], sv,
                                  preferred_element_type=jnp.float32,
                                  precision=jax.lax.Precision.HIGHEST)
 
-        def ang_phase(cls, refs, torq_ref, p, mom, post):
+        def ang_group(cls, refs, torq_ref, g, mom, post):
             rows_ref, G_ref, S_ref = refs
             U, W = cls.U, cls.W
-            g = p // U
-            blk = rows_ref[p]                           # (14W, T)
             gath = jnp.dot(G_ref[g], mom,
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)  # (6W, T)
             a0 = gath[0:3 * W]
             a1 = gath[3 * W:6 * W]
-            axis = blk[0:3 * W]
-            K0 = blk[3 * W:6 * W]
-            K1 = blk[6 * W:9 * W]
-            stt = blk[9 * W:10 * W]
-            o = 11 if post else 10
-            ts = blk[o * W:(o + 1) * W]
-            mintD = blk[12 * W:13 * W]
-            maxtD = blk[13 * W:14 * W]
-            cur3 = a1 * K1 - a0 * K0
-            cur = cur3[0:W] + cur3[W:2 * W] + cur3[2 * W:3 * W]
-            dtq = (ts - cur) * stt
-            tq = torq_ref[pl.ds(p * W, W)]
-            dtq = jnp.minimum(dtq, maxtD - tq)
-            dtq = jnp.maximum(dtq, mintD - tq)
-            torq_ref[pl.ds(p * W, W)] = tq + dtq
-            sv = axis * jnp.concatenate([dtq, dtq, dtq], axis=0)
+            sv = None
+            for u in range(U):
+                p = g * U + u
+                blk = rows_ref[p]                       # (14W, T)
+                axis = blk[0:3 * W]
+                K0 = blk[3 * W:6 * W]
+                K1 = blk[6 * W:9 * W]
+                stt = blk[9 * W:10 * W]
+                o = 11 if post else 10
+                ts = blk[o * W:(o + 1) * W]
+                mintD = blk[12 * W:13 * W]
+                maxtD = blk[13 * W:14 * W]
+                cur3 = a1 * K1 - a0 * K0
+                cur = cur3[0:W] + cur3[W:2 * W] + cur3[2 * W:3 * W]
+                dtq = (ts - cur) * stt
+                tq = torq_ref[pl.ds(p * W, W)]
+                dtq = jnp.minimum(dtq, maxtD - tq)
+                dtq = jnp.maximum(dtq, mintD - tq)
+                torq_ref[pl.ds(p * W, W)] = tq + dtq
+                da = axis * jnp.concatenate([dtq, dtq, dtq], axis=0)
+                sv = da if sv is None else sv + da
+                if u + 1 < U:
+                    a0 = a0 - da
+                    a1 = a1 + da
             return mom + jnp.dot(S_ref[g], sv,
                                  preferred_element_type=jnp.float32,
                                  precision=jax.lax.Precision.HIGHEST)
 
+        unroll_cs = int(os.environ.get("HTS_PGS_UNROLL_CS", "1"))
+        unroll_g = int(os.environ.get("HTS_PGS_UNROLL_G", "1"))
+
+        def chunked(n, step, mom, k):
+            """fori over n steps with k statically-unrolled steps per
+            iteration (Mosaic's fori_loop only full-unrolls) + remainder."""
+            k = max(1, min(k, n))
+            if k >= n:                      # fully static: no fori at all
+                for c in range(n):
+                    mom = step(c, mom)
+                return mom
+
+            def body(i, m):
+                for j in range(k):
+                    m = step(i * k + j, m)
+                return m
+
+            mom = jax.lax.fori_loop(0, n // k, body, mom)
+            for c in range(n - n % k, n):   # static remainder indices
+                mom = step(c, mom)
+            return mom
+
         def make_sweep(post):
             def body(_, mom):
                 if CS:
-                    mom = jax.lax.fori_loop(
-                        0, CS,
-                        lambda c, m: single_slot(c, m, post), mom)
+                    mom = chunked(CS, lambda c, m: single_slot(c, m, post),
+                                  mom, unroll_cs)
                 for cls, refs, isr in zip(lin_classes, lin_refs, lin_isum):
-                    mom = jax.lax.fori_loop(
-                        0, cls.n_phases,
-                        functools.partial(lin_phase, cls, refs, isr,
+                    mom = chunked(
+                        cls.n_groups,
+                        functools.partial(lin_group, cls, refs, isr,
                                           post=post),
-                        mom)
+                        mom, unroll_g)
                 for cls, refs, tqr in zip(ang_classes, ang_refs, ang_torq):
-                    mom = jax.lax.fori_loop(
-                        0, cls.n_phases,
-                        functools.partial(ang_phase, cls, refs, tqr,
+                    mom = chunked(
+                        cls.n_groups,
+                        functools.partial(ang_group, cls, refs, tqr,
                                           post=post),
-                        mom)
+                        mom, unroll_g)
                 return mom
             return body
 
@@ -461,13 +511,16 @@ def _prep_lin_class(rows: LinearRows, cls: PairClassPlan, iinv, massinv, dt,
     dinv = jnp.where(rows.active & (denom != 0), 1.0 / denom, 0.0)
     tsm = rows.targetdist / dt * act
     tsp = jnp.minimum(tsm, rows.targetspeednobias * act)
+    T = act.shape[0]
     chans = [n[..., 0], n[..., 1], n[..., 2],
              J0[..., 0], J0[..., 1], J0[..., 2],
              J1[..., 0], J1[..., 1], J1[..., 2],
              K0[..., 0], K0[..., 1], K0[..., 2],
              K1[..., 0], K1[..., 1], K1[..., 2],
              dinv, tsm, tsp, rows.fmin * dt * act, rows.fmax * dt * act,
-             rows.friction_coef * act]
+             rows.friction_coef * act,
+             jnp.broadcast_to(mi0[None], (T, mi0.shape[0])),
+             jnp.broadcast_to(mi1[None], (T, mi1.shape[0]))]
     return _phase_planes(chans, cls, Tp)
 
 
