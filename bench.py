@@ -165,10 +165,15 @@ def main():
     jax.block_until_ready(out_poses)
     compile_and_run = time.time() - t0
 
-    t0 = time.time()
-    out_states, out_poses = run(states, depths)
-    jax.block_until_ready(out_poses)
-    dt = time.time() - t0
+    # best of N reps: the tunnelled chip is time-shared and transient
+    # congestion can inflate a single rep several-fold
+    reps = []
+    for _ in range(int(os.environ.get("BENCH_REPS", "3"))):
+        t0 = time.time()
+        out_states, out_poses = run(states, depths)
+        jax.block_until_ready(out_poses)
+        reps.append(time.time() - t0)
+    dt = min(reps)
 
     frames = N_TRACKS * N_FRAMES
     fps = frames / dt
@@ -200,7 +205,8 @@ def main():
         f"points)\n")
     sys.stderr.write(
         f"# tracks={N_TRACKS} frames={N_FRAMES} warmup={compile_and_run:.1f}s "
-        f"run={dt:.3f}s mean_joint_err={err*1000:.2f}mm devices={jax.devices()}\n"
+        f"run={dt:.3f}s (reps {', '.join(f'{r:.3f}' for r in reps)}) "
+        f"mean_joint_err={err*1000:.2f}mm devices={jax.devices()}\n"
         f"# (mean_joint_err is drift-vs-ground-truth of the geometric-only fit\n"
         f"#  after {N_FRAMES} frames on fast animbank segments; the reference\n"
         f"#  drifts identically — trajectory parity vs the C++ reference is\n"

@@ -111,3 +111,38 @@ def test_full_pipeline_trained_cnn_golden(golden, hand_model, bank):
         if f < 2:  # pre-chaos: trajectories must agree
             assert np.abs(mine[:, :3] - refp[f][:, :3]).max() < 5e-3, f
     assert np.mean(my_err) < 1.5 * referr[:6].mean() + 2e-3
+
+
+def test_full_pipeline_always_take_cnn_golden(golden, hand_model, bank):
+    """Trained-weights trajectory parity with always_take_cnn forced on both
+    sides (handtrack.h:721): the accept/reject bifurcation is suppressed, so
+    in the tracking regime (stride-2 animbank replay, no resets) the
+    trajectories must agree frame-by-frame for the full 12-frame golden
+    (VERDICT r1 item 5; golden from tools/golden_gen.cpp synctrack_atc)."""
+    import os
+    if not os.path.exists("assets/handposedd_synth.cnnb"):
+        pytest.skip("trained weights not present")
+    cam = synth_camera()
+    cnn_params = load_cnnb("assets/handposedd_synth.cnnb")
+    config = TrackerConfig(point_budget=2048, always_take_cnn=True)
+    params = physics_params(config)
+    state = make_tracker_state(hand_model)
+    step = jax.jit(lambda s, d: update(s, hand_model, cnn_params, d, cam,
+                                       config, params)[0])
+    fd = jax.jit(lambda p: fake_depth(p, hand_model, cam))
+    refp = np.array(golden["synctrack_atc_poses"], np.float32).reshape(12, 17, 7)
+    referr = np.array(golden["synctrack_atc_joint_err"])
+    devs, my_err = [], []
+    for f in range(12):
+        gt = jnp.asarray(bank[(f * 2) % len(bank)])
+        state = step(state, fd(gt))
+        mine = np.array(state.body.pose)
+        dev = np.linalg.norm(mine[:, :3] - refp[f][:, :3], axis=1)
+        devs.append(dev.mean())
+        my_err.append(np.linalg.norm(mine[:, :3] - np.array(gt)[:, :3],
+                                     axis=1).mean())
+        assert dev.mean() < 3e-3, (
+            f"frame {f}: mean traj deviation {dev.mean()*1000:.2f}mm")
+    assert np.mean(devs) < 2.5e-3
+    # and the tracking quality matches the reference's on the same frames
+    assert np.mean(my_err) < np.mean(referr) + 1.5e-3

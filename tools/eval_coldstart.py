@@ -61,6 +61,10 @@ def main():
     final = np.mean(errs[-1])
     print(f"\ncold-start after {F} frames over {T} starts: "
           f"mean {final*1000:.2f} mm ({CNNB})")
+    out = os.environ.get("EVAL_DUMP", "")
+    if out:
+        np.savez(out, errs=np.stack(errs), starts=starts)
+        print("dumped", out)
 
 
 if __name__ == "__main__":

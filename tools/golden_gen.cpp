@@ -470,6 +470,47 @@ int main(int argc, char **argv) {
             dump_floats("synctrack_trained_joint_err", errs2.data(), errs2.size());
         }
 
+        // trained weights with always_take_cnn: the accept/reject branch is
+        // forced on (handtrack.h:721), so the trajectory is deterministic and
+        // comparable frame-by-frame for longer (VERDICT r1 item 5)
+        if (argc > 4) {
+            HandTracker htk3;
+            htk3.cnn.loadb(argv[4]);
+            htk3.always_take_cnn = true;
+            std::vector<Pose> poses3;
+            std::vector<float> errs3;
+            for (int f = 0; f < NFRAMES; f++) {
+                fakehand.SetPose(bank[(f * 2) % bank.size()]);
+                auto dimage = fake_depth(fakehand);
+                auto pose = htk3.update_cnn_model(dimage);
+                htk3.handmodel.SetPose(pose);
+                auto points = takesubsample(PointCloud(dimage, {0.1f, htk3.drangey}),
+                                            htk3.subsample_fraction);
+                for (int i = 0; !htk3.angles_only && i < htk3.mainthreadpasses; i++) {
+                    std::vector<LimitLinear> linears;
+                    std::vector<LimitAngular> angulars;
+                    HandModelEnhancements(htk3.handmodel, angulars, false,
+                                          float3(0, 0, 0), float3(0, 0, 0), 0);
+                    if (points.size() > htk3.min_point_num && htk3.boundary_planes) {
+                        std::vector<float3> outdirs = {float3(-1, -0.25f, 0), float3(-1, -1, 0),
+                                                       float3(0, -1, 0), float3(1, -1, 0), float3(1, -0.25f, 0)};
+                        Append(linears, cloud_chamber(htk3.handmodel, points, outdirs,
+                                                      {0, 0, 0}, {0, 0, 1}, 10.0f));
+                    }
+                    htk3.handmodel.FitPointCloud(points, linears, angulars, htk3.microforce);
+                }
+                if (points.size() < htk3.min_point_num) htk3.initializing = 50;
+                for (auto &p : htk3.handmodel.GetPose()) poses3.push_back(p);
+                float je = 0;
+                for (int b = 0; b < 17; b++)
+                    je += length(htk3.handmodel.rigidbodies[b].position
+                                 - fakehand.rigidbodies[b].position);
+                errs3.push_back(je / 17.0f);
+            }
+            dump_pose_array("synctrack_atc_poses", poses3);
+            dump_floats("synctrack_atc_joint_err", errs3.data(), errs3.size());
+        }
+
         // dynamics-only tracking: start at ground truth, no CNN, 1-frame steps
         {
             PhysModel tracked = LoadHandModel();
