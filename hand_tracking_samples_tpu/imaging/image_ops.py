@@ -280,13 +280,23 @@ def cloud_from_depth(depth, cam: DCamera, range_lo, range_hi, frac: int,
     s = jnp.arange(budget, dtype=jnp.int32)
     le = kbase[None, :] <= s[:, None]                         # (S, R) fused
     row = jnp.sum(le.astype(jnp.int32), axis=1) - 1
-    j = s - jnp.max(jnp.where(le, kbase[None, :], 0), axis=1)  # s - kbase[row]
-    k_rows = k_in[row]                                        # (S, 128) row gather
+    # one-hot of `row` (le is monotone in r: last true column wins); the two
+    # (S, 128) row gathers of k_in / d become MXU matmuls — exact, since each
+    # one-hot row has a single 1 so the sum has one term (no accumulation)
+    oh_row = (le & ~jnp.concatenate(
+        [le[:, 1:], jnp.zeros((budget, 1), bool)], axis=1)).astype(jnp.float32)
+    j = s - jnp.sum(oh_row * kbase[None, :].astype(jnp.float32),
+                    axis=1).astype(jnp.int32)                 # s - kbase[row]
+    picked = jnp.dot(oh_row,
+                     jnp.concatenate([k_in.astype(jnp.float32),
+                                      d.reshape(-1, 128)], axis=1),
+                     precision=jax.lax.Precision.HIGHEST)     # (S, 256)
+    k_rows, d_rows = picked[:, :128], picked[:, 128:]
     lane = jnp.sum((k_rows <= j[:, None]).astype(jnp.int32), axis=1)
     lane = jnp.minimum(lane, 127)
     lanes = jnp.arange(128, dtype=jnp.int32)
-    z = jnp.sum(jnp.where(lanes[None, :] == lane[:, None],
-                          d.reshape(-1, 128)[row], 0.0), axis=1)
+    z = jnp.sum(jnp.where(lanes[None, :] == lane[:, None], d_rows, 0.0),
+                axis=1)
     ok = s < total
     flat = row * 128 + lane
     px = (flat % W).astype(jnp.float32)
