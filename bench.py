@@ -36,9 +36,11 @@ MODEL_JSON = os.environ.get("HAND_MODEL_JSON",
 ANIMBANK = os.environ.get("ANIMBANK", DEFAULT_ANIMBANK)
 
 N_TRACKS = int(os.environ.get("BENCH_TRACKS", "512"))
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "8"))
+# 32 frames amortizes the axon tunnel's ~28 ms fixed dispatch cost so the
+# metric measures steady-state throughput, not network RTT
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "32"))
 POINT_BUDGET = int(os.environ.get("BENCH_POINT_BUDGET", "1024"))
-SOLVER = os.environ.get("BENCH_SOLVER", "colored")
+SOLVER = os.environ.get("BENCH_SOLVER", "kernel")
 CLOUD_ROWS = int(os.environ.get("BENCH_CLOUD_ROWS", "128"))
 
 
@@ -132,7 +134,17 @@ def main():
                            cnn_every_k=int(os.environ.get("BENCH_CNN_K", "1")),
                            solver=SOLVER, cloud_rows_per_body=CLOUD_ROWS,
                            use_pallas=os.environ.get("BENCH_PALLAS", "1") == "1",
-                           contacts_mode=os.environ.get("BENCH_CONTACTS", "exact"))
+                           contacts_mode=os.environ.get("BENCH_CONTACTS", "exact"),
+                           # ablation knobs (stage cost attribution only —
+                           # recorded numbers always use the defaults)
+                           physics_iterations=int(
+                               os.environ.get("BENCH_ITERS", "16")),
+                           physics_iterations_post=int(
+                               os.environ.get("BENCH_ITERS_POST", "4")),
+                           physics_use_collision=int(
+                               os.environ.get("BENCH_COLLISION", "1")),
+                           boundary_planes=int(
+                               os.environ.get("BENCH_BOUNDARY", "1")))
     cnn_params = None
     if full:
         from hand_tracking_samples_tpu.assets_paths import DEFAULT_CNNB

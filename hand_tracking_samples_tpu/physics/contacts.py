@@ -344,11 +344,27 @@ def _contact_rows_batched(pose_b, lin_b, ang_b, model, params,
     v1 = vel_at(pb, p1w)
     cn = [-n[c] for c in range(3)]
     vdotn = sum((v0[c] - v1[c]) * cn[c][:, None, :] for c in range(3))
+    r0 = [p0w[c] - tr[c][pa][:, None, :] for c in range(3)]
+    r1 = [p1w[c] - tr[c][pb][:, None, :] for c in range(3)]
+    return _rows_from_fields(n, seps, vdotn, r0, r1, pt_active, pairs,
+                             params, friction, n_points, T)
+
+
+def _rows_from_fields(n, seps, vdotn, r0, r1, pt_active, pairs, params,
+                      friction: float, n_points: int, T: int) -> LinearRows:
+    """Shared epilogue of the batched paths: bounce/bias scalars, the
+    contact frame (quat_from_to), and the [normal, binormal, tangent] row
+    interleave.  Inputs are tracks-last planes: n 3x(NP,T), the rest
+    (NP,Pt,T) (or 3-lists thereof)."""
+    NP = pairs.shape[0]
+    Pt = n_points
+    pa, pb = pairs[:, 0], pairs[:, 1]
+    minsep = params.driftmax * 0.25
+    gterm = jnp.linalg.norm(params.gravity) * params.falltime_to_ballistic
     bouncevel = jnp.maximum(0.0, (-vdotn - gterm) * params.restitution)
     targetdist = jnp.minimum((seps - minsep) * params.biasfactorpositive,
                              seps)
-    r0 = [p0w[c] - tr[c][pa][:, None, :] for c in range(3)]
-    r1 = [p1w[c] - tr[c][pb][:, None, :] for c in range(3)]
+    cn = [-n[c] for c in range(3)]
 
     # quat_from_to((0,0,1), cn) component-wise (geometric.h:319 semantics)
     cnorm = jnp.sqrt(sum(cn[c] * cn[c] for c in range(3)))
@@ -435,9 +451,22 @@ def _get_entry(friction: float, n_points: int):
         model_u = jax.tree.map(lambda x, b: x[0] if b else x, model, sb_model)
         params_u = jax.tree.map(lambda x, b: x[0] if b else x, params,
                                 sb_params)
-        out = _contact_rows_batched(state.pose, state.linear_momentum,
-                                    state.angular_momentum, model_u, params_u,
-                                    friction, n_points)
+        from .contact_kernel import contact_fields, kernel_supported
+        import os
+        use_kernel = os.environ.get(
+            "HTS_CONTACT_KERNEL",
+            "1" if jax.default_backend() == "tpu" else "0") == "1"
+        if use_kernel and kernel_supported(model_u):
+            fields = contact_fields(state.pose, state.linear_momentum,
+                                    state.angular_momentum, model_u,
+                                    params_u, n_points)
+            out = _rows_from_fields(*fields,
+                                    np.asarray(model_u.collide_pairs),
+                                    params_u, friction, n_points, T)
+        else:
+            out = _contact_rows_batched(state.pose, state.linear_momentum,
+                                        state.angular_momentum, model_u,
+                                        params_u, friction, n_points)
         return out, jax.tree.map(lambda _: True, out)
 
     _ENTRIES[key] = rows

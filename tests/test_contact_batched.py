@@ -14,6 +14,48 @@ from hand_tracking_samples_tpu.tracker.config import TrackerConfig
 from hand_tracking_samples_tpu.tracker.runtime import physics_params
 
 
+def _bank_states(golden):
+    bank = load_animbank(DEFAULT_ANIMBANK)
+    frames = [int(golden["contact_frame"][0])] + list(
+        range(0, len(bank), max(1, len(bank) // 15)))[:15]
+    rng = np.random.RandomState(3)
+    return frames, BodyState(
+        pose=jnp.asarray(bank[frames]),
+        linear_momentum=jnp.asarray(
+            rng.randn(len(frames), 17, 3).astype(np.float32) * 1e-3),
+        angular_momentum=jnp.asarray(
+            rng.randn(len(frames), 17, 3).astype(np.float32) * 1e-4))
+
+
+def test_contact_kernel_matches_xla(golden, hand_model, monkeypatch):
+    """The Pallas contact kernel (interpret mode on CPU) must reproduce the
+    XLA batched path bit-for-bit on every row field; the kernel is the same
+    SAT + refine + manifold math in a VMEM-resident layout."""
+    _, states = _bank_states(golden)
+    params = physics_params(TrackerConfig())
+
+    monkeypatch.setenv("HTS_CONTACT_KERNEL", "0")
+    xla = jax.jit(jax.vmap(
+        lambda s: contact_rows(s, hand_model, params)))(states)
+    xla = jax.tree.map(np.asarray, xla)
+    monkeypatch.setenv("HTS_CONTACT_KERNEL", "1")
+    ker = jax.jit(jax.vmap(
+        lambda s: contact_rows(s, hand_model, params)))(states)
+    ker = jax.tree.map(np.asarray, ker)
+
+    act = xla.active > 0
+    assert act.any()
+    np.testing.assert_array_equal(act, ker.active > 0)
+    for name in ("b0", "b1", "fmin", "fmax", "friction_master",
+                 "friction_coef"):
+        np.testing.assert_array_equal(getattr(xla, name),
+                                      getattr(ker, name), err_msg=name)
+    for name in ("normal", "r0", "r1", "targetdist", "targetspeednobias"):
+        np.testing.assert_allclose(getattr(xla, name)[act],
+                                   getattr(ker, name)[act],
+                                   atol=1e-8, err_msg=name)
+
+
 def test_batched_contacts_match_unbatched(golden, hand_model):
     bank = load_animbank(DEFAULT_ANIMBANK)
     frames = [int(golden["contact_frame"][0])] + list(
