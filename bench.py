@@ -144,7 +144,10 @@ def main():
                            physics_use_collision=int(
                                os.environ.get("BENCH_COLLISION", "1")),
                            boundary_planes=int(
-                               os.environ.get("BENCH_BOUNDARY", "1")))
+                               os.environ.get("BENCH_BOUNDARY", "1")),
+                           steps=int(os.environ.get("BENCH_STEPS", "5")),
+                           steps_unibody=int(
+                               os.environ.get("BENCH_UNIBODY", "3")))
     cnn_params = None
     if full:
         from hand_tracking_samples_tpu.assets_paths import DEFAULT_CNNB

@@ -17,6 +17,11 @@ def _find(name: str) -> str:
 DEFAULT_MODEL_JSON = _find("model_hand.json")
 DEFAULT_ANIMBANK = _find("animbank.pose")
 DEFAULT_VANITY_BONES = _find("vanity_bones.json")
-_V2 = os.path.join(_LOCAL, "handposedd_synth_v2.cnnb")
-DEFAULT_CNNB = _V2 if os.path.exists(_V2) \
-    else os.path.join(_LOCAL, "handposedd_synth.cnnb")
+# Best shipped net by cold-start eval (tools/eval_coldstart.py, 64 starts x
+# 64 frames): v4 10.35mm mean / 4.9mm median / 61% <8mm; v3 10.43; v2 10.65
+# (the residual mean is stuck-track dominated, net-independent).
+_PREFERRED = ("handposedd_synth_v4.cnnb", "handposedd_synth_v3.cnnb",
+              "handposedd_synth_v2.cnnb", "handposedd_synth.cnnb")
+DEFAULT_CNNB = next((os.path.join(_LOCAL, n) for n in _PREFERRED
+                     if os.path.exists(os.path.join(_LOCAL, n))),
+                    os.path.join(_LOCAL, "handposedd_synth.cnnb"))

@@ -770,6 +770,19 @@ def build_multistep_plan(model, CS: int, has_angles: bool,
                                    massinv=massinv))
 
 
+def build_unibody_plan(CS: int) -> SolvePlan:
+    """Plan for UnibodyFit (handtrack.h:444-470): one free body, CS cloud
+    rows solved in exact sequential order, no pair classes.  The in-kernel
+    slot loop replaces the XLA fori over rows (the reset path's dominant
+    cost: 20 sweeps x CS sequential loop steps per fit)."""
+    key = f"uni:{CS}"
+    if key in _PLANS:
+        return _PLANS[key]
+    return register_plan(SolvePlan(key=key, CS=CS, lin_classes=(),
+                                   ang_classes=(),
+                                   massinv=np.ones(1, np.float32)))
+
+
 def physics_update_pgs(state: BodyState, bodies: BodyParams,
                        single_rows, lin_rows: Sequence[LinearRows],
                        ang_rows: Sequence[AngularRows], plan: SolvePlan,

@@ -260,9 +260,18 @@ def unibody_fit(body: BodyState, model, params, points, point_mask,
     # the exact sequential order with 4x fewer loop steps
     from ..physics.colored import pack_single_body_linear, physics_update_colored
     blk = pack_single_body_linear(rows, 1, rows.b0.shape[0])
-    out = physics_update_colored(ustate, ubody, [blk], [], params,
+    if use_kernel:
+        # VMEM-resident solve: same sequential slot order, no XLA loop
+        # overhead (the reset path's dominant cost otherwise)
+        from ..physics.pgs_kernel import build_unibody_plan, physics_update_pgs
+        plan = build_unibody_plan(rows.b0.shape[0])
+        out = physics_update_pgs(ustate, ubody, blk, [], [], plan, params,
                                  iterations=iterations,
                                  iterations_post=iterations_post)
+    else:
+        out = physics_update_colored(ustate, ubody, [blk], [], params,
+                                     iterations=iterations,
+                                     iterations_post=iterations_post)
     dp = pose_mul(out.pose[0], pose_inverse(body.pose[1]))
     pose = jax.vmap(lambda p: pose_mul(dp, p))(body.pose)
     return sanity_check(body._replace(pose=pose), body_params(model))
@@ -397,6 +406,90 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
 
 
 # ---------------------------------------------------------------------------
+# Reset branch (PoseFromScratch + unibody passes), batch-gated.
+#
+# Per track the reference's reset is an if (handtrack.h:712-719).  Under
+# vmap a lax.cond lowers to select — every track would pay the kickstart
+# (pose_from_scratch + steps_unibody solves, the most expensive stage of the
+# heavy frame) every CNN frame even though resets are rare.  custom_vmap
+# lets the batched rule hoist the decision to one scalar `any(pred)`
+# lax.cond: steady state skips the whole reset computation at runtime; when
+# any track resets, all compute it and the per-track `where` keeps exact
+# per-track semantics.  (Same pattern as physics.contacts._get_entry.)
+# ---------------------------------------------------------------------------
+
+_RESET_ENTRIES: dict = {}
+
+
+def _get_reset_entry(config: TrackerConfig):
+    key = (config.steps_unibody, config.unibody_force,
+           config.physics_iterations, config.physics_iterations_post,
+           config.use_pallas)
+    if key in _RESET_ENTRIES:
+        return _RESET_ENTRIES[key]
+
+    from jax.custom_batching import custom_vmap
+
+    def _reset(body, model, analysis, points, point_mask, camera_pose,
+               params):
+        b = pose_from_scratch(body, model, analysis, points, point_mask,
+                              camera_pose)
+        for _ in range(key[0]):
+            b = unibody_fit(b, model, params, points, point_mask,
+                            camera_pose[:3], key[1], key[2], key[3],
+                            use_kernel=key[4])
+        return b
+
+    @custom_vmap
+    def maybe_reset(pred, body, model, analysis, points, point_mask,
+                    camera_pose, params):
+        return jax.lax.cond(
+            pred,
+            lambda b: _reset(b, model, analysis, points, point_mask,
+                             camera_pose, params),
+            lambda b: b, body)
+
+    @maybe_reset.def_vmap
+    def maybe_reset_vmap(axis_size, in_batched, pred, body, model, analysis,
+                         points, point_mask, camera_pose, params):
+        T = axis_size
+        (pred_b, body_b, model_b, analysis_b, points_b, mask_b, cam_b,
+         params_b) = in_batched
+
+        def bc(tree, tb):
+            return jax.tree.map(
+                lambda x, b: x if b else
+                jnp.broadcast_to(jnp.asarray(x), (T,) + jnp.shape(x)),
+                tree, tb)
+
+        pred = bc(pred, pred_b)
+        body = bc(body, body_b)
+        analysis = bc(analysis, analysis_b)
+        points = bc(points, points_b)
+        point_mask = bc(point_mask, mask_b)
+        camera_pose = bc(camera_pose, cam_b)
+        # model/params are per-model constants (never batched in practice)
+        model_u = jax.tree.map(lambda x, b: x[0] if b else x, model, model_b)
+        params_u = jax.tree.map(lambda x, b: x[0] if b else x, params,
+                                params_b)
+
+        def do(bd):
+            new = jax.vmap(
+                lambda b, a, p, m, c: _reset(b, model_u, a, p, m, c,
+                                             params_u))(
+                bd, analysis, points, point_mask, camera_pose)
+            pick = lambda n, o: jnp.where(
+                pred.reshape((T,) + (1,) * (n.ndim - 1)), n, o)
+            return jax.tree.map(pick, new, bd)
+
+        out = jax.lax.cond(jnp.any(pred), do, lambda bd: bd, body)
+        return out, jax.tree.map(lambda _: True, out)
+
+    _RESET_ENTRIES[key] = maybe_reset
+    return maybe_reset
+
+
+# ---------------------------------------------------------------------------
 # update_cnn_model (handtrack.h:693-746)
 # ---------------------------------------------------------------------------
 
@@ -426,20 +519,9 @@ def update_cnn_model(state: TrackerState, model, cnn_params, depth,
                          config.bone_sum_error_scale,
                          use_kernel=config.use_pallas)
 
-    other = state.body
     do_reset = jnp.asarray(config.angles_only) | (olderror > config.full_reset_on_error)
-
-    def reset_path(b):
-        b = pose_from_scratch(b, model, analysis, vpts, vmask, seg.cam.pose)
-        for _ in range(config.steps_unibody):
-            b = unibody_fit(b, model, params, vpts, vmask,
-                            seg.cam.pose[:3], config.unibody_force,
-                            config.physics_iterations,
-                            config.physics_iterations_post,
-                            use_kernel=config.use_pallas)
-        return b
-
-    other = jax.lax.cond(do_reset, reset_path, lambda b: b, other)
+    other = _get_reset_entry(config)(do_reset, state.body, model, analysis,
+                                     vpts, vmask, seg.cam.pose, params)
     other = multi_step_sim(other, model, analysis, vpts, vmask, seg.cam.pose,
                            config, params, schedule=schedule)
     newerror = fit_error(other, model, vpts, vmask, depth, cam,

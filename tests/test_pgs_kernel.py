@@ -47,3 +47,39 @@ def test_kernel_update_matches_colored(hand_model):
     assert np.abs(col[..., :3] - ker[..., :3]).max() < 1e-5
     assert quat_err(col[..., 3:].reshape(-1, 4),
                     ker[..., 3:].reshape(-1, 4)) < 1e-4
+
+
+def test_unibody_kernel_matches_colored(hand_model):
+    """UnibodyFit's kernel solve (physics_update_pgs with a build_unibody_plan
+    plan, interpret mode on CPU) must match the colored single-body solve —
+    same sequential row order, same math (handtrack.h:444-470)."""
+    from hand_tracking_samples_tpu.imaging.image_ops import cloud_from_depth
+    from hand_tracking_samples_tpu.tracker.runtime import unibody_fit
+
+    bank = load_animbank(DEFAULT_ANIMBANK)
+    poses = jnp.asarray(bank[[10, 400, 977]])
+    render = jax.jit(jax.vmap(lambda p: fake_depth(p, hand_model, cam_g)))
+    depths = render(poses)
+    params = physics_params(TrackerConfig())
+
+    pts, mask = jax.jit(jax.vmap(
+        lambda d: cloud_from_depth(d, cam_g, 0.1, 0.7, 4, 1024)))(depths)
+    # start slightly off the true poses so the fit does real work
+    start = poses.at[:, :, 0].add(0.01)
+
+    def fit(k):
+        fn = lambda p, pt, m: unibody_fit(
+            jax.tree.map(jnp.asarray, _body(p)), hand_model, params, pt, m,
+            jnp.zeros(3), use_kernel=k).pose
+        return np.asarray(jax.jit(jax.vmap(fn))(start, pts, mask))
+
+    def _body(p):
+        from hand_tracking_samples_tpu.physics.solver import BodyState
+        return BodyState(pose=p, linear_momentum=jnp.zeros((17, 3)),
+                         angular_momentum=jnp.zeros((17, 3)))
+
+    col = fit(False)
+    ker = fit(True)
+    assert np.abs(col[..., :3] - ker[..., :3]).max() < 1e-5
+    assert quat_err(col[..., 3:].reshape(-1, 4),
+                    ker[..., 3:].reshape(-1, 4)) < 1e-4
