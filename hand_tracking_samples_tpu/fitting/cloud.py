@@ -56,6 +56,24 @@ def _hull_best(state: BodyState, model, points, origin, use_kernel):
     return hull_vals, pidx, None, None
 
 
+def closest_vals(state: BodyState, model, points):
+    """Winning (body, value) per point — closest_planes without the plane
+    gather or ray-clip reductions.  All FitError needs (handtrack.h:372-383);
+    the hull side is one batched MXU matmul (_hull_dots)."""
+    B = model.planes.shape[0]
+    pos = state.position
+    d = points[:, None, :] - pos[None, :, :]                  # (N,B,3)
+    n = safenormalize(d)
+    w = -jnp.einsum("bk,nbk->nb", pos, n) - model.radius_inner[None, :]
+    sphere_vals = jnp.einsum("nbk,nk->nb", n, points) + w     # (N,B)
+    dots = _hull_dots(state, model, points)                   # (B,N,P)
+    hull_vals = dots.max(axis=-1).swapaxes(0, 1)              # (N,B)
+    vals = jnp.concatenate([sphere_vals, hull_vals], axis=1)  # (N,2B)
+    k = jnp.argmin(vals, axis=1)
+    body = jnp.where(k >= B, k - B, k).astype(jnp.int32)
+    return body, jnp.take_along_axis(vals, k[:, None], 1)[:, 0]
+
+
 def closest_planes(state: BodyState, model, points, point_mask,
                    hull_best=None, use_kernel: bool = False):
     """For each point: (winning body index, winning world plane (4,), value).
@@ -194,10 +212,13 @@ def scale_cloud_forces(rows: LinearRows, per_row_scale) -> LinearRows:
 
 def fit_error(state: BodyState, model, points, point_mask, depth, depth_cam,
               bone_sum_error_scale: float = 4.0, use_kernel: bool = False):
-    """handtrack.h:369-399 FitError."""
+    """handtrack.h:369-399 FitError.  use_kernel is accepted for API
+    compatibility; the vals-only correspondence is always cheaper here (no
+    plane gather / ray-clip reductions) and numerically identical to the
+    use_kernel=False closest_planes path."""
+    del use_kernel
     B = model.planes.shape[0]
-    body, plane, val = closest_planes(state, model, points, point_mask,
-                                      use_kernel=use_kernel)
+    body, val = closest_vals(state, model, points)
     contrib = jnp.where(point_mask, val, -jnp.inf)
     pointerror = jnp.zeros(B, val.dtype).at[body].max(contrib)
     point_error_sum = jnp.maximum(pointerror, 0.0).sum()

@@ -64,27 +64,17 @@ def _minplus_row_rev(row):
 
 def distance_transform(binary255):
     """misc_image.h:183-195: Manhattan distance transform of a 0/255 mask,
-    clamped to 255.  Forward raster pass then backward raster pass."""
+    clamped to 255.
+
+    The reference's forward+backward raster passes compute the exact
+    city-block distance to the nearest 0 pixel (Rosenfeld-Pfaltz); the L1
+    metric is separable, so the same result is two 1-D min-plus convolutions
+    with the |delta| kernel (each = min of a forward and a backward cummin),
+    log-depth associative scans instead of a row-sequential lax.scan."""
     img = binary255.astype(jnp.int32)
-
-    def fwd_step(prev_row, row):
-        row = jnp.minimum(row, prev_row + 1)
-        row = _minplus_row(row)
-        return row, row
-
-    h, w = img.shape
-    init = jnp.full((w,), 255, jnp.int32)
-    # first pass: pixel = min(left+1, up+1, self); row-sequential
-    _, out = jax.lax.scan(fwd_step, init + 254, img)  # big init so row0 unaffected
-    out = jnp.minimum(out, 255)
-
-    def bwd_step(prev_row, row):
-        row = jnp.minimum(row, prev_row + 1)
-        row = _minplus_row_rev(row)
-        return row, row
-
-    _, out2 = jax.lax.scan(bwd_step, init + 254, out[::-1])
-    return jnp.minimum(out2[::-1], 255).astype(jnp.uint8)
+    col = jnp.minimum(_minplus_row(img.T), _minplus_row_rev(img.T)).T
+    out = jnp.minimum(_minplus_row(col), _minplus_row_rev(col))
+    return jnp.minimum(out, 255).astype(jnp.uint8)
 
 
 def threshold(depth, lo=None, hi=None):

@@ -30,9 +30,9 @@ BP = 24          # body slots (17 padded)
 FLT_MAX = 3.4028235e38
 
 
-def _make_kernel(B: int, P: int, C: int, directed: bool):
+def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True):
     def kernel(pts_ref, planes_ref, d0_ref, body_ref, misc_ref,
-               packed_ref, counts_ref):
+               packed_ref, counts_ref=None):
         pts = pts_ref[:]                                  # (8, N)
         N = pts.shape[1]
         p3 = pts[0:3]
@@ -138,10 +138,20 @@ def _make_kernel(B: int, P: int, C: int, directed: bool):
 
         td = ((w1x - p3[0:1]) * nxf + (w1y - p3[1:2]) * nyf
               + (w1z - p3[2:3]) * nzf)
+        active = mask > 0
+
+        if not pack:
+            # unpacked: rows in point-slot order with WORLD attach points
+            # (the unibody retarget subtracts its own body position outside)
+            packed_ref[:] = jnp.concatenate(
+                [nxf, nyf, nzf, w1x, w1y, w1z, td,
+                 active.astype(jnp.float32),
+                 jnp.zeros((8, N), jnp.float32)], axis=0)  # (16, N)
+            return
+
         r1x = w1x - wpx
         r1y = w1y - wpy
         r1z = w1z - wpz
-        active = mask > 0
 
         # per-body rank among active points (lane roll-scan), then pack
         bodyi = wb.astype(jnp.int32)
@@ -193,6 +203,67 @@ def _cloud_rows_call(pts_h, planes_w, d0, body_sc, misc, C, directed):
     return packed, counts
 
 
+@functools.partial(jax.jit, static_argnames=("directed",))
+def _cloud_rows_unpacked_call(pts_h, planes_w, d0, body_sc, misc, directed):
+    from ..physics.pgs_kernel import _interpret
+    B, P = planes_w.shape[0], planes_w.shape[1]
+    N = pts_h.shape[1]
+    kernel = _make_kernel(B, P, 0, directed, pack=False)
+    (vals,) = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((16, N), jnp.float32),),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=_interpret(),
+    )(pts_h, planes_w.reshape(B * P, -1), d0.reshape(B * P, -1), body_sc,
+      misc)
+    return vals
+
+
+def _kernel_inputs(state, model, points, point_mask, origin):
+    from .correspondence import world_planes
+    B = model.planes.shape[0]
+    N = points.shape[0]
+    planes_w = world_planes(state.pose, model)            # (B, P, 8)
+    d0 = (jnp.einsum("bpk,k->bp", planes_w[..., :3], origin)
+          + planes_w[..., 3])
+    d0 = jnp.where(model.plane_mask, d0, -1.0)[..., None]  # (B, P, 1)
+    d0 = jnp.broadcast_to(d0, d0.shape[:2] + (8,))
+    pts_h = jnp.zeros((8, N), jnp.float32)
+    pts_h = (pts_h.at[0:3].set(points.T).at[3].set(1.0)
+             .at[4].set(point_mask.astype(jnp.float32)))
+    body_sc = jnp.zeros((BP, 8), jnp.float32)
+    body_sc = (body_sc.at[:B, 0:3].set(state.pose[:, :3])
+               .at[:B, 3].set(model.radius_inner))
+    misc = jnp.zeros((8, 8), jnp.float32).at[0, 0:3].set(origin)
+    return planes_w, d0, pts_h, body_sc, misc
+
+
+def cloud_rows_unibody(state, model, points, point_mask, origin, uni_pos,
+                       force):
+    """CloudConstraints retargeted to the UnibodyFit free body
+    (handtrack.h:453-461): correspondence against the full hand, rows in
+    point-slot order on body 0 with r1 measured from `uni_pos` and force
+    limits +-force.  Returns a SingleBodyLinear block with B=1."""
+    from ..physics.colored import SingleBodyLinear
+    planes_w, d0, pts_h, body_sc, misc = _kernel_inputs(
+        state, model, points, point_mask, origin)
+    vals = _cloud_rows_unpacked_call(pts_h, planes_w, d0, body_sc, misc,
+                                     True)
+    x = vals.T                                             # (N, 16)
+    n, w1, td = x[:, 0:3], x[:, 3:6], x[:, 6]
+    act = x[:, 7] > 0.5
+    N = points.shape[0]
+    f = jnp.full((N, 1), force, jnp.float32)
+    return SingleBodyLinear(
+        normal=n[:, None, :], r1=(w1 - uni_pos)[:, None, :],
+        targetdist=td[:, None],
+        targetspeednobias=jnp.zeros((N, 1), jnp.float32),
+        fmin=-f, fmax=f, active=act[:, None])
+
+
 def cloud_rows_packed(state, model, points, point_mask, origin,
                       scale_per_body, slots: int, directed: bool = True):
     """CloudConstraints + per-body slot packing, fully fused.
@@ -204,25 +275,11 @@ def cloud_rows_packed(state, model, points, point_mask, origin,
     no cap, physmodel.h:163-181 — observability per VERDICT r1 item 10).
     """
     from ..physics.colored import SingleBodyLinear
-    from .correspondence import world_planes
 
     B = model.planes.shape[0]
-    N = points.shape[0]
-    planes_w = world_planes(state.pose, model)            # (B, P, 8)
-    d0 = (jnp.einsum("bpk,k->bp", planes_w[..., :3], origin)
-          + planes_w[..., 3])
-    d0 = jnp.where(model.plane_mask, d0, -1.0)[..., None] # (B, P, 1)
-    d0 = jnp.broadcast_to(d0, d0.shape[:2] + (8,))
-
-    pts_h = jnp.zeros((8, N), jnp.float32)
-    pts_h = (pts_h.at[0:3].set(points.T).at[3].set(1.0)
-             .at[4].set(point_mask.astype(jnp.float32)))
-
-    body_sc = jnp.zeros((BP, 8), jnp.float32)
-    body_sc = (body_sc.at[:B, 0:3].set(state.pose[:, :3])
-               .at[:B, 3].set(model.radius_inner)
-               .at[:B, 4].set(jnp.broadcast_to(scale_per_body, (B,))))
-    misc = jnp.zeros((8, 8), jnp.float32).at[0, 0:3].set(origin)
+    planes_w, d0, pts_h, body_sc, misc = _kernel_inputs(
+        state, model, points, point_mask, origin)
+    body_sc = body_sc.at[:B, 4].set(jnp.broadcast_to(scale_per_body, (B,)))
 
     packed, counts = _cloud_rows_call(pts_h, planes_w, d0, body_sc, misc,
                                       slots, directed)

@@ -24,6 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..maths.quat import qrot
+from ..physics.pgs_kernel import _interpret
 
 N_BLK = 512
 
@@ -84,6 +85,7 @@ def correspondence_reductions(pts_h, planes, d0):
         ],
         out_specs=[out_spec] * 5,
         out_shape=out_shape,
+        interpret=_interpret(),
     )(planes, d0, pts_h)
 
 

@@ -237,38 +237,42 @@ def unibody_fit(body: BodyState, model, params, points, point_mask,
     from ..imaging.image_ops import compact_points
     vsub = point_mask & ((jnp.cumsum(point_mask) - 1) % 4 == 0)
     upts, umask = compact_points(points, vsub, max(points.shape[0] // 4, 64))
-    rows = cloud_constraint_rows(body, model, upts, umask,
-                                 origin=camera_position,
-                                 use_kernel=False)
     uni_pose = jnp.concatenate([body.pose[1, :3], body.pose[1, 3:7]])
-    # retarget rows to the unibody (handtrack.h:457-461)
-    bpose = body.pose[rows.b1]
-    p1_world = pose_apply(bpose, qrot(qconj(pose_quat(bpose)), rows.r1))
-    r1_new = p1_world - uni_pose[:3]
-    rows = rows._replace(
-        b0=jnp.full_like(rows.b0, -1), b1=jnp.zeros_like(rows.b1),
-        r1=r1_new,
-        fmin=rows.fmin * unibody_force, fmax=rows.fmax * unibody_force)
-
     ustate = BodyState(pose=uni_pose[None], linear_momentum=jnp.zeros((1, 3)),
                        angular_momentum=jnp.zeros((1, 3)))
     ubody = BodyParams(
         massinv=jnp.ones(1), tensorinv_massless=_UNIBODY_TINV[None],
         damping=jnp.zeros(1), gravscale=jnp.ones(1),
         start_pose=uni_pose[None])
-    # all rows act on the one body, so the single-body colored block keeps
-    # the exact sequential order with 4x fewer loop steps
-    from ..physics.colored import pack_single_body_linear, physics_update_colored
-    blk = pack_single_body_linear(rows, 1, rows.b0.shape[0])
     if use_kernel:
-        # VMEM-resident solve: same sequential slot order, no XLA loop
-        # overhead (the reset path's dominant cost otherwise)
+        # fused correspondence + row build in VMEM (rows already retargeted
+        # to the unibody), then the VMEM-resident sequential-slot solve: the
+        # XLA correspondence alone costs ~25x the whole solve at these counts
+        from ..ops.cloud_rows import cloud_rows_unibody
         from ..physics.pgs_kernel import build_unibody_plan, physics_update_pgs
-        plan = build_unibody_plan(rows.b0.shape[0])
+        blk = cloud_rows_unibody(body, model, upts, umask, camera_position,
+                                 uni_pose[:3], unibody_force)
+        plan = build_unibody_plan(blk.targetdist.shape[0])
         out = physics_update_pgs(ustate, ubody, blk, [], [], plan, params,
                                  iterations=iterations,
                                  iterations_post=iterations_post)
     else:
+        rows = cloud_constraint_rows(body, model, upts, umask,
+                                     origin=camera_position,
+                                     use_kernel=False)
+        # retarget rows to the unibody (handtrack.h:457-461)
+        bpose = body.pose[rows.b1]
+        p1_world = pose_apply(bpose, qrot(qconj(pose_quat(bpose)), rows.r1))
+        r1_new = p1_world - uni_pose[:3]
+        rows = rows._replace(
+            b0=jnp.full_like(rows.b0, -1), b1=jnp.zeros_like(rows.b1),
+            r1=r1_new,
+            fmin=rows.fmin * unibody_force, fmax=rows.fmax * unibody_force)
+        # all rows act on the one body, so the single-body colored block
+        # keeps the exact sequential order with 4x fewer loop steps
+        from ..physics.colored import (pack_single_body_linear,
+                                       physics_update_colored)
+        blk = pack_single_body_linear(rows, 1, rows.b0.shape[0])
         out = physics_update_colored(ustate, ubody, [blk], [], params,
                                      iterations=iterations,
                                      iterations_post=iterations_post)
@@ -496,9 +500,11 @@ def _get_reset_entry(config: TrackerConfig):
 @_full_precision
 def update_cnn_model(state: TrackerState, model, cnn_params, depth,
                      cam: DCamera, config: TrackerConfig, params,
-                     schedule=None):
+                     schedule=None, cloud=None):
     """The background-thread body, as a pure function.  Returns
-    (new TrackerState, CnnDebug)."""
+    (new TrackerState, CnnDebug).  `cloud`: optional precomputed
+    (points, mask) from the caller's own cloud_from_depth of the same frame
+    (update() passes its own — avoids building the cloud twice per frame)."""
     drange = (0.1, config.drangey)
     seg = hand_segment_vr(depth, cam, 0xF, drange, config.segment_scale)
     hcam = seg.cam.sub(4)
@@ -506,14 +512,17 @@ def update_cnn_model(state: TrackerState, model, cnn_params, depth,
     cnn_output = cnn_forward(cnn_params, cnn_input[None])[0]
     analysis = analyze_cnn_output(cnn_output, hcam)
 
-    from ..imaging.image_ops import cloud_from_depth
-    vpts, vmask = cloud_from_depth(depth, cam, drange[0], drange[1],
-                                   config.subsample_fraction,
-                                   config.point_budget)
-    if config.mirror_plane:
-        from ..imaging.image_ops import mirror_plane_split
-        vpts, vmask = mirror_plane_split(
-            vpts, vmask, jnp.asarray(config.mirror_plane, jnp.float32))
+    if cloud is not None:
+        vpts, vmask = cloud
+    else:
+        from ..imaging.image_ops import cloud_from_depth
+        vpts, vmask = cloud_from_depth(depth, cam, drange[0], drange[1],
+                                       config.subsample_fraction,
+                                       config.point_budget)
+        if config.mirror_plane:
+            from ..imaging.image_ops import mirror_plane_split
+            vpts, vmask = mirror_plane_split(
+                vpts, vmask, jnp.asarray(config.mirror_plane, jnp.float32))
 
     olderror = fit_error(state.body, model, vpts, vmask, depth, cam,
                          config.bone_sum_error_scale,
@@ -605,8 +614,12 @@ def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
 
     dbg = None
     if config.cnn_every_frame if run_cnn is None else run_cnn:
+        # the heavy pass uses the same cloud_from_depth cloud as this frame's
+        # main pass unless the voxel subsampler replaced it
+        cloud = None if config.subsample_voxel else (points, mask)
         state, dbg = update_cnn_model(state, model, cnn_params, depth, cam,
-                                      config, params, schedule=schedule)
+                                      config, params, schedule=schedule,
+                                      cloud=cloud)
 
     body = state.body
     contacts_fn = (lambda s: contact_rows(s, model, params)) \
