@@ -253,40 +253,45 @@ def cloud_from_depth(depth, cam: DCamera, range_lo, range_hi, frac: int,
     `budget` selected pixels are deprojected.
     Returns (points (budget,3), mask)."""
     H, W = depth.shape
-    d = depth.astype(jnp.float32) * cam.depth_scale
     assert (H * W) % 128 == 0
-    v = ((d >= range_lo) & (d < range_hi)).reshape(-1, 128)   # (R, 128)
-    c_in = jnp.cumsum(v.astype(jnp.int32), axis=1)            # inclusive
+    # all counting runs in f32: every integer here is < 2^24 so f32 is exact,
+    # lane cumsums become (R,128)@(128,128) MXU matmuls against a 0/1
+    # triangular matrix (integer sums <= 128 — no accumulation error), and no
+    # (R,128) i32 tensors are materialised
+    draw = depth.astype(jnp.float32).reshape(-1, 128)         # raw units
+    d = draw * jnp.float32(cam.depth_scale)                   # fuses into v
+    v = (d >= range_lo) & (d < range_hi)                      # (R, 128)
+    tri = jnp.triu(jnp.ones((128, 128), jnp.float32))
+    c_in = jnp.dot(v.astype(jnp.float32), tri,
+                   preferred_element_type=jnp.float32)        # inclusive
     row_tot = c_in[:, -1]
     row_base = jnp.cumsum(row_tot) - row_tot                  # valid before row
     rank = row_base[:, None] + c_in - 1                       # rank among valid
-    kept = v & (rank % frac == 0)
-    k_in = jnp.cumsum(kept.astype(jnp.int32), axis=1)         # inclusive
+    kept = v & (jnp.floor(rank * (1.0 / frac)) * frac == rank)
+    k_in = jnp.dot(kept.astype(jnp.float32), tri,
+                   preferred_element_type=jnp.float32)        # inclusive
     krow = k_in[:, -1]
     kbase = jnp.cumsum(krow) - krow                           # kept before row
     total = kbase[-1] + krow[-1]
     # slot -> (row, lane): broadcast-compare reductions (XLA fuses these; a
     # searchsorted lowers to a while-loop of gathers and is ~50x slower)
-    s = jnp.arange(budget, dtype=jnp.int32)
+    s = jnp.arange(budget, dtype=jnp.float32)
     le = kbase[None, :] <= s[:, None]                         # (S, R) fused
     row = jnp.sum(le.astype(jnp.int32), axis=1) - 1
     # one-hot of `row` (le is monotone in r: last true column wins); the two
-    # (S, 128) row gathers of k_in / d become MXU matmuls — exact, since each
-    # one-hot row has a single 1 so the sum has one term (no accumulation)
+    # (S, 128) row gathers of k_in / raw depth become MXU matmuls — exact,
+    # since each one-hot row has a single 1 (no accumulation)
     oh_row = (le & ~jnp.concatenate(
         [le[:, 1:], jnp.zeros((budget, 1), bool)], axis=1)).astype(jnp.float32)
-    j = s - jnp.sum(oh_row * kbase[None, :].astype(jnp.float32),
-                    axis=1).astype(jnp.int32)                 # s - kbase[row]
-    picked = jnp.dot(oh_row,
-                     jnp.concatenate([k_in.astype(jnp.float32),
-                                      d.reshape(-1, 128)], axis=1),
+    j = s - jnp.sum(oh_row * kbase[None, :], axis=1)          # s - kbase[row]
+    picked = jnp.dot(oh_row, jnp.concatenate([k_in, draw], axis=1),
                      precision=jax.lax.Precision.HIGHEST)     # (S, 256)
     k_rows, d_rows = picked[:, :128], picked[:, 128:]
     lane = jnp.sum((k_rows <= j[:, None]).astype(jnp.int32), axis=1)
     lane = jnp.minimum(lane, 127)
     lanes = jnp.arange(128, dtype=jnp.int32)
     z = jnp.sum(jnp.where(lanes[None, :] == lane[:, None], d_rows, 0.0),
-                axis=1)
+                axis=1) * cam.depth_scale
     ok = s < total
     flat = row * 128 + lane
     px = (flat % W).astype(jnp.float32)

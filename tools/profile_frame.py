@@ -72,7 +72,7 @@ def main():
     depths, poses = make_depths(model, cam, bank)
 
     base = TrackerConfig(point_budget=1024, cnn_every_frame=False,
-                         solver="colored", cloud_rows_per_body=128,
+                         solver="kernel", cloud_rows_per_body=128,
                          use_pallas=True, contacts_mode="exact")
 
     r = {}
