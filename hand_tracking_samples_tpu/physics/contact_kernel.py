@@ -14,7 +14,7 @@ Layout per grid step (TBLK = 128 tracks on lanes, all f32):
   nw   (3*B*96, T)  world face-normal planes
   dw   (B*96, T)    world plane offsets; masked-off planes carry -1e30 so
                     they can never win the face max (no masks in-kernel)
-  aux  (B*16, T)    per body: spin(3) linvel(3) translation(3) pad(7)
+  aux  (B*16, T)    per body: spin(3) linvel(3) translation(3) radius@9
   pa/pb (NP,) SMEM  static collide-pair body ids
   scal (8,) SMEM    driftmax scalar
   out  (NP*48, T)   12 channels x 4 manifold points per pair, rows
@@ -49,6 +49,23 @@ def _make_kernel(B: int, NP: int, n_points: int, refine_iters: int):
         def pair_body(i, carry):
             a = pa_ref[i]
             b = pb_ref[i]
+            auxa = aux_ref[pl.ds(a * 16, 16), :]               # (16, T)
+            auxb = aux_ref[pl.ds(b * 16, 16), :]
+
+            # bounding-sphere pair cull (physics.h:456): per-lane gate, and
+            # when no lane in the block is near, the whole SAT+refine+manifold
+            # body is skipped (most pairs, most frames)
+            dc2 = sum((auxa[6 + c:7 + c, :] - auxb[6 + c:7 + c, :]) ** 2
+                      for c in range(3))                       # (1, T)
+            rsum = auxa[9:10, :] + auxb[9:10, :]
+            near = dc2 <= rsum * rsum                          # (1, T)
+
+            def skip_pair(_):
+                # inactive rows; n = (0,0,-1) keeps the downstream
+                # quat_from_to(z, -n) away from the antiparallel singularity
+                return jnp.concatenate(
+                    [jnp.zeros((11 * n_points, TBLK), jnp.float32),
+                     jnp.full((n_points, TBLK), -1.0, jnp.float32)], axis=0)
 
             def verts(body):
                 return [vw_ref[pl.ds(c * B48 + body * V, V), :]
@@ -59,111 +76,113 @@ def _make_kernel(B: int, NP: int, n_points: int, refine_iters: int):
                      for c in range(3)]
                 return n, dw_ref[pl.ds(body * P, P), :]
 
-            va = verts(a)
-            vb = verts(b)
-            na, da = faces(a)
-            nb, db = faces(b)
-            iota_p = jax.lax.broadcasted_iota(jnp.int32, (P, TBLK), 0)
-            iota_v = jax.lax.broadcasted_iota(jnp.int32, (V, TBLK), 0)
+            def do_pair(_):
+                va = verts(a)
+                vb = verts(b)
+                na, da = faces(a)
+                nb, db = faces(b)
+                iota_p = jax.lax.broadcasted_iota(jnp.int32, (P, TBLK), 0)
+                iota_v = jax.lax.broadcasted_iota(jnp.int32, (V, TBLK), 0)
 
-            def face_sep(n3, d0, vo):
-                """Winning face of one hull vs the other hull's verts.
-                Returns sep (1,T), nf 3x(1,T), dv (V,T)."""
-                dmin = None
-                for v in range(V):
-                    dv_ = (n3[0] * vo[0][v:v + 1, :]
-                           + n3[1] * vo[1][v:v + 1, :]
-                           + n3[2] * vo[2][v:v + 1, :])
-                    dmin = dv_ if dmin is None else jnp.minimum(dmin, dv_)
-                dmin = dmin + d0                               # (P, T)
-                sep = jnp.max(dmin, axis=0, keepdims=True)     # (1, T)
-                pri = jnp.where(dmin >= sep, iota_p, P)
-                first = jnp.min(pri, axis=0, keepdims=True)
-                oh = (iota_p == first).astype(jnp.float32)
-                nf = [jnp.sum(oh * n3[c], axis=0, keepdims=True)
-                      for c in range(3)]
-                df = jnp.sum(oh * d0, axis=0, keepdims=True)
-                dv = (nf[0] * vo[0] + nf[1] * vo[1] + nf[2] * vo[2]
-                      + df)                                    # (V, T)
-                return sep, nf, dv
+                def face_sep(n3, d0, vo):
+                    """Winning face of one hull vs the other hull's verts.
+                    Returns sep (1,T), nf 3x(1,T), dv (V,T)."""
+                    dmin = None
+                    for v in range(V):
+                        dv_ = (n3[0] * vo[0][v:v + 1, :]
+                               + n3[1] * vo[1][v:v + 1, :]
+                               + n3[2] * vo[2][v:v + 1, :])
+                        dmin = dv_ if dmin is None else jnp.minimum(dmin, dv_)
+                    dmin = dmin + d0                               # (P, T)
+                    sep = jnp.max(dmin, axis=0, keepdims=True)     # (1, T)
+                    pri = jnp.where(dmin >= sep, iota_p, P)
+                    first = jnp.min(pri, axis=0, keepdims=True)
+                    oh = (iota_p == first).astype(jnp.float32)
+                    nf = [jnp.sum(oh * n3[c], axis=0, keepdims=True)
+                          for c in range(3)]
+                    df = jnp.sum(oh * d0, axis=0, keepdims=True)
+                    dv = (nf[0] * vo[0] + nf[1] * vo[1] + nf[2] * vo[2]
+                          + df)                                    # (V, T)
+                    return sep, nf, dv
 
-            sep_a, nf_a, dv_a = face_sep(na, da, vb)
-            sep_b, nf_b, dv_b = face_sep(nb, db, va)
-            use_a = sep_a >= sep_b                             # (1, T)
-            n = [jnp.where(use_a, nf_a[c], -nf_b[c]) for c in range(3)]
+                sep_a, nf_a, dv_a = face_sep(na, da, vb)
+                sep_b, nf_b, dv_b = face_sep(nb, db, va)
+                use_a = sep_a >= sep_b                             # (1, T)
+                n = [jnp.where(use_a, nf_a[c], -nf_b[c]) for c in range(3)]
 
-            def support(vx, m):
-                dots = vx[0] * m[0] + vx[1] * m[1] + vx[2] * m[2]
-                mx = jnp.max(dots, axis=0, keepdims=True)
-                pri = jnp.where(dots >= mx, iota_v, V)
-                first = jnp.min(pri, axis=0, keepdims=True)
-                oh = (iota_v == first).astype(jnp.float32)
-                return [jnp.sum(oh * vx[c], axis=0, keepdims=True)
+                def support(vx, m):
+                    dots = vx[0] * m[0] + vx[1] * m[1] + vx[2] * m[2]
+                    mx = jnp.max(dots, axis=0, keepdims=True)
+                    pri = jnp.where(dots >= mx, iota_v, V)
+                    first = jnp.min(pri, axis=0, keepdims=True)
+                    oh = (iota_v == first).astype(jnp.float32)
+                    return [jnp.sum(oh * vx[c], axis=0, keepdims=True)
+                            for c in range(3)]
+
+                def sep_along(m):
+                    sa = support(va, m)
+                    sb = support(vb, [-mc for mc in m])
+                    return (sum((sb[c] - sa[c]) * m[c] for c in range(3)),
+                            sa, sb)
+
+                best = jnp.full((1, TBLK), -3.0e38, jnp.float32)
+                m = n
+                for _ in range(refine_iters):
+                    s, sa, sb = sep_along(m)
+                    best = jnp.maximum(best, s)
+                    d = [sb[c] - sa[c] for c in range(3)]
+                    norm = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+                    m = [dc / jnp.maximum(norm, 1e-20) for dc in d]
+                s, _, _ = sep_along(m)
+                sep_gate = jnp.maximum(best, s)
+                active_pair = sep_gate < driftmax                  # (1, T)
+
+                dv = jnp.where(use_a, dv_a, dv_b)                  # (V, T)
+                dvx = [jnp.where(use_a, vb[c], va[c]) for c in range(3)]
+                seps_l, deep_l = [], []
+                for _ in range(n_points):
+                    mn = jnp.min(dv, axis=0, keepdims=True)
+                    pri = jnp.where(dv <= mn, iota_v, V)
+                    first = jnp.min(pri, axis=0, keepdims=True)
+                    oh = (iota_v == first).astype(jnp.float32)
+                    seps_l.append(jnp.sum(oh * dv, axis=0, keepdims=True))
+                    deep_l.append([jnp.sum(oh * dvx[c], axis=0, keepdims=True)
+                                   for c in range(3)])
+                    dv = jnp.where(oh > 0, 3.0e38, dv)
+                seps = jnp.concatenate(seps_l, axis=0)             # (Pt, T)
+                deep = [jnp.concatenate([dk[c] for dk in deep_l], axis=0)
                         for c in range(3)]
+                shift = [n[c] * seps for c in range(3)]
+                p1w = [jnp.where(use_a, deep[c], deep[c] + shift[c])
+                       for c in range(3)]
+                p0w = [jnp.where(use_a, deep[c] - shift[c], deep[c])
+                       for c in range(3)]
+                pt_active = ((active_pair > 0) & (seps < driftmax) & near
+                             ).astype(jnp.float32)
 
-            def sep_along(m):
-                sa = support(va, m)
-                sb = support(vb, [-mc for mc in m])
-                return (sum((sb[c] - sa[c]) * m[c] for c in range(3)),
-                        sa, sb)
 
-            best = jnp.full((1, TBLK), -3.0e38, jnp.float32)
-            m = n
-            for _ in range(refine_iters):
-                s, sa, sb = sep_along(m)
-                best = jnp.maximum(best, s)
-                d = [sb[c] - sa[c] for c in range(3)]
-                norm = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
-                m = [dc / jnp.maximum(norm, 1e-20) for dc in d]
-            s, _, _ = sep_along(m)
-            sep_gate = jnp.maximum(best, s)
-            active_pair = sep_gate < driftmax                  # (1, T)
+                def vel_at(aux, pw):
+                    sp = [aux[c:c + 1, :] for c in range(3)]
+                    lv = [aux[3 + c:4 + c, :] for c in range(3)]
+                    tr = [aux[6 + c:7 + c, :] for c in range(3)]
+                    r = [pw[c] - tr[c] for c in range(3)]
+                    cr = [sp[1] * r[2] - sp[2] * r[1],
+                          sp[2] * r[0] - sp[0] * r[2],
+                          sp[0] * r[1] - sp[1] * r[0]]
+                    return [cr[c] + lv[c] for c in range(3)], r
 
-            dv = jnp.where(use_a, dv_a, dv_b)                  # (V, T)
-            dvx = [jnp.where(use_a, vb[c], va[c]) for c in range(3)]
-            seps_l, deep_l = [], []
-            for _ in range(n_points):
-                mn = jnp.min(dv, axis=0, keepdims=True)
-                pri = jnp.where(dv <= mn, iota_v, V)
-                first = jnp.min(pri, axis=0, keepdims=True)
-                oh = (iota_v == first).astype(jnp.float32)
-                seps_l.append(jnp.sum(oh * dv, axis=0, keepdims=True))
-                deep_l.append([jnp.sum(oh * dvx[c], axis=0, keepdims=True)
-                               for c in range(3)])
-                dv = jnp.where(oh > 0, 3.0e38, dv)
-            seps = jnp.concatenate(seps_l, axis=0)             # (Pt, T)
-            deep = [jnp.concatenate([dk[c] for dk in deep_l], axis=0)
-                    for c in range(3)]
-            shift = [n[c] * seps for c in range(3)]
-            p1w = [jnp.where(use_a, deep[c], deep[c] + shift[c])
-                   for c in range(3)]
-            p0w = [jnp.where(use_a, deep[c] - shift[c], deep[c])
-                   for c in range(3)]
-            pt_active = ((active_pair > 0) & (seps < driftmax)
-                         ).astype(jnp.float32)
+                v0, r0 = vel_at(auxa, p0w)
+                v1, r1 = vel_at(auxb, p1w)
+                vdotn = sum((v0[c] - v1[c]) * (-n[c]) for c in range(3))
 
-            auxa = aux_ref[pl.ds(a * 16, 16), :]               # (16, T)
-            auxb = aux_ref[pl.ds(b * 16, 16), :]
+                nb3 = [jnp.broadcast_to(n[c], (n_points, TBLK)) for c in range(3)]
+                out = jnp.concatenate(
+                    [seps, vdotn, r0[0], r0[1], r0[2], r1[0], r1[1], r1[2],
+                     pt_active, nb3[0], nb3[1], nb3[2]], axis=0)   # (48, T)
+                return out
 
-            def vel_at(aux, pw):
-                sp = [aux[c:c + 1, :] for c in range(3)]
-                lv = [aux[3 + c:4 + c, :] for c in range(3)]
-                tr = [aux[6 + c:7 + c, :] for c in range(3)]
-                r = [pw[c] - tr[c] for c in range(3)]
-                cr = [sp[1] * r[2] - sp[2] * r[1],
-                      sp[2] * r[0] - sp[0] * r[2],
-                      sp[0] * r[1] - sp[1] * r[0]]
-                return [cr[c] + lv[c] for c in range(3)], r
-
-            v0, r0 = vel_at(auxa, p0w)
-            v1, r1 = vel_at(auxb, p1w)
-            vdotn = sum((v0[c] - v1[c]) * (-n[c]) for c in range(3))
-
-            nb3 = [jnp.broadcast_to(n[c], (n_points, TBLK)) for c in range(3)]
-            out = jnp.concatenate(
-                [seps, vdotn, r0[0], r0[1], r0[2], r1[0], r1[1], r1[2],
-                 pt_active, nb3[0], nb3[1], nb3[2]], axis=0)   # (48, T)
-            out_ref[pl.ds(i * (NCH * n_points), NCH * n_points), :] = out
+            out_ref[pl.ds(i * (NCH * n_points), NCH * n_points), :] = (
+                jax.lax.cond(jnp.any(near), do_pair, skip_pair, 0))
             return carry
 
         jax.lax.fori_loop(0, NP, pair_body, 0)
@@ -246,6 +265,8 @@ def contact_fields(pose_b, lin_b, ang_b, model, params, n_points: int,
     for c in range(3):
         aux = aux.at[:, c].set(spin[c]).at[:, 3 + c].set(lv[c]) \
                  .at[:, 6 + c].set(tr[c])
+    aux = aux.at[:, 9].set(jnp.broadcast_to(
+        jnp.asarray(model.radius)[:, None], (B, T)))  # circumscribed radius
 
     vw_f = jnp.concatenate([vwc.reshape(B * V, T) for vwc in vw], axis=0)
     nw_f = jnp.concatenate([nwc.reshape(B * P, T) for nwc in nw], axis=0)

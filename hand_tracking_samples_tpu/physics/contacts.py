@@ -149,6 +149,12 @@ def _contact_rows_unbatched(state: BodyState, model, params: PhysicsParams,
     # activation gate: the refined bound kills edge-edge false positives
     sep_gate = _refined_separation_u(va_w, ma, vb_w, mb, n)
     active_pair = sep_gate < params.driftmax
+    # bounding-sphere pair cull (physics.h:456): the reference skips pairs
+    # whose circumscribed spheres (radius = max |vert|, physics.h:170) are
+    # further apart than touching
+    dctr = tr[a] - tr[b]
+    rsum = model.radius[a] + model.radius[b]
+    active_pair &= jnp.sum(dctr * dctr, -1) <= rsum * rsum
 
     # manifold: the n_points deepest verts of the loser hull under the
     # winning face (face-clip analog of the reference's jiggled patch)
@@ -304,6 +310,10 @@ def _contact_rows_batched(pose_b, lin_b, ang_b, model, params,
     s, _, _ = sep_along(m)
     sep_gate = jnp.maximum(best, s)
     active_pair = sep_gate < params.driftmax               # (NP,T)
+    # bounding-sphere pair cull (physics.h:456, radius from physics.h:170)
+    rsum = (model.radius[pa] + model.radius[pb])[:, None]  # (NP,1)
+    dc2 = sum((tr[c][pa] - tr[c][pb]) ** 2 for c in range(3))  # (NP,T)
+    active_pair &= dc2 <= rsum * rsum
 
     # manifold: n_points deepest verts by sequential argmin + mask-out
     dv = jnp.where(use_a[:, None, :], dv_a, dv_b)          # (NP,V,T)
