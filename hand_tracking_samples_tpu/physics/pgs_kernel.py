@@ -448,14 +448,37 @@ def _to_planes(channels, Tp):
     return _pad_tracks(x, Tp)
 
 
+def _batched_world_iinv(q, tinv, massinv):
+    """_world_iinv (physics.h:518) batched elementwise: the vmapped
+    R @ tinv @ R^T lowers to K=3 MXU passes at HIGHEST precision.  Same qrot
+    column construction, products expanded as FMAs."""
+    from ..maths.quat import qrot
+    eye = jnp.eye(3, dtype=q.dtype)
+    R = jnp.stack([qrot(q, eye[i]) for i in range(3)], axis=-1)  # (T,B,3,3)
+    A = jnp.stack([jnp.stack(
+        [sum(R[..., i, k] * tinv[..., k, j] for k in range(3))
+         for j in range(3)], axis=-1) for i in range(3)], axis=-2)
+    W = jnp.stack([jnp.stack(
+        [sum(A[..., i, k] * R[..., j, k] for k in range(3))
+         for j in range(3)], axis=-1) for i in range(3)], axis=-2)
+    return W * massinv[..., None, None]
+
+
+def _mv33(M, v):
+    """(..., 3, 3) @ (..., 3) as elementwise FMAs: a K=3 dot_general at
+    HIGHEST precision costs a full 128-deep MXU pass per output element."""
+    return jnp.stack(
+        [M[..., i, 0] * v[..., 0] + M[..., i, 1] * v[..., 1]
+         + M[..., i, 2] * v[..., 2] for i in range(3)], axis=-1)
+
+
 def _prep_singles(sb, iinv, massinv, dt, Tp):
     """sb: SingleBodyLinear with (T, C, B, ...) leaves -> (CS, 14BP, Tp)."""
     act = sb.active.astype(jnp.float32)
     n = sb.normal * act[..., None]
     r1 = sb.r1
     J1 = jnp.cross(r1, n)
-    K1 = jnp.einsum("tbij,tcbj->tcbi", iinv, J1,
-                    precision=jax.lax.Precision.HIGHEST)
+    K1 = _mv33(iinv[:, None], J1)
     denom = massinv[None, None, :] + jnp.einsum(
         "tcbk,tcbk->tcb", jnp.cross(K1, r1), n)
     dinv = jnp.where(sb.active & (denom != 0), 1.0 / denom, 0.0)
@@ -502,10 +525,8 @@ def _prep_lin_class(rows: LinearRows, cls: PairClassPlan, iinv, massinv, dt,
     n = rows.normal * act[..., None]
     J0 = jnp.cross(rows.r0, n)
     J1 = jnp.cross(rows.r1, n)
-    K0 = jnp.einsum("trij,trj->tri", I0, J0,
-                    precision=jax.lax.Precision.HIGHEST)
-    K1 = jnp.einsum("trij,trj->tri", I1, J1,
-                    precision=jax.lax.Precision.HIGHEST)
+    K0 = _mv33(I0, J0)
+    K1 = _mv33(I1, J1)
     denom = (mi0[None] + jnp.einsum("trk,trk->tr", jnp.cross(K0, rows.r0), n)
              + mi1[None] + jnp.einsum("trk,trk->tr", jnp.cross(K1, rows.r1), n))
     dinv = jnp.where(rows.active & (denom != 0), 1.0 / denom, 0.0)
@@ -528,10 +549,8 @@ def _prep_ang_class(rows: AngularRows, cls: PairClassPlan, iinv, dt, Tp):
     b0, b1 = cls.b0, cls.b1
     I0 = iinv[:, np.maximum(b0, 0)] * (b0 >= 0)[None, :, None, None]
     I1 = iinv[:, np.maximum(b1, 0)] * (b1 >= 0)[None, :, None, None]
-    K0 = jnp.einsum("trij,trj->tri", I0, rows.axis,
-                    precision=jax.lax.Precision.HIGHEST)
-    K1 = jnp.einsum("trij,trj->tri", I1, rows.axis,
-                    precision=jax.lax.Precision.HIGHEST)
+    K0 = _mv33(I0, rows.axis)
+    K1 = _mv33(I1, rows.axis)
     denom = (jnp.einsum("trk,trk->tr", rows.axis, K0)
              + jnp.einsum("trk,trk->tr", rows.axis, K1))
     skip = rows.targetspin == -FLT_MAX
@@ -649,9 +668,8 @@ def _solve_batched(plan, iterations, iterations_post, state, bodies,
     lin0 = lin0 + params.gravity[None, None, :] * (
         mass * bodies.gravscale * dt)[None, :, None]
     q = state.pose[..., 3:7]
-    iinv = jax.vmap(jax.vmap(_world_iinv, in_axes=(0, 0, 0)),
-                    in_axes=(0, None, None))(
-        q, bodies.tensorinv_massless, bodies.massinv)   # (T, B, 3, 3)
+    iinv = _batched_world_iinv(q, bodies.tensorinv_massless,
+                               bodies.massinv)          # (T, B, 3, 3)
 
     def mom_planes(linm, angm):
         x = jnp.concatenate([linm, angm], axis=-1)      # (T, B, 6)
