@@ -61,13 +61,16 @@ def bench_cnn_forward():
     x = jnp.asarray(rng.rand(B, 64, 64).astype(np.float32))
     f = jax.jit(forward)
     jax.block_until_ready(f(params, x))
-    t0 = time.time()
-    for _ in range(20):
-        y = f(params, x)
-    jax.block_until_ready(y)
-    # reference: single-example SSE forward at interactive rates (~60/s)
-    emit("cnn_forward_crops_per_sec_per_chip", 20 * B / (time.time() - t0),
-         60.0)
+    dts = []
+    for _ in range(int(os.environ.get("BENCH_REPS", "3"))):
+        t0 = time.time()
+        for _ in range(20):
+            y = f(params, x)
+        jax.block_until_ready(y)
+        dts.append(time.time() - t0)
+    # reference: single-example SSE forward at interactive rates (~60/s);
+    # best of N reps — the tunnelled chip is time-shared (see main())
+    emit("cnn_forward_crops_per_sec_per_chip", 20 * B / min(dts), 60.0)
 
 
 def bench_train():
@@ -88,12 +91,14 @@ def bench_train():
 
     f = jax.jit(run)
     jax.block_until_ready(f(params, x, t))
-    t0 = time.time()
-    out = f(params, x, t)
-    jax.block_until_ready(out)
+    dts = []
+    for _ in range(int(os.environ.get("BENCH_REPS", "3"))):
+        t0 = time.time()
+        out = f(params, x, t)
+        jax.block_until_ready(out)
+        dts.append(time.time() - t0)
     # reference ~ "hours overnight" for ~100k steps -> O(10) examples/s
-    emit("train_sgd_examples_per_sec_per_chip",
-         STEPS * B / (time.time() - t0), 10.0)
+    emit("train_sgd_examples_per_sec_per_chip", STEPS * B / min(dts), 10.0)
 
 
 def bench_export(model, bank, cam):
@@ -110,12 +115,15 @@ def bench_export(model, bank, cam):
                               for i in range(0, T, 256)])
     f = jax.jit(jax.vmap(lambda d, p: compress_frame(d, cam, p)))
     jax.block_until_ready(f(depths, poses))
-    t0 = time.time()
-    for _ in range(5):
-        out = f(depths, poses)
-    jax.block_until_ready(out)
+    dts = []
+    for _ in range(int(os.environ.get("BENCH_REPS", "3"))):
+        t0 = time.time()
+        for _ in range(5):
+            out = f(depths, poses)
+        jax.block_until_ready(out)
+        dts.append(time.time() - t0)
     emit("export_segment_label_frames_per_sec_per_chip",
-         5 * T / (time.time() - t0), 60.0)
+         5 * T / min(dts), 60.0)
 
 
 def main():

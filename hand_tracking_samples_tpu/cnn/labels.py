@@ -96,7 +96,7 @@ def analyze_cnn_output(cnn_output, hcam: DCamera) -> CNNAnalysis:
         conf = peak_volume(fmap, p)
         n = pose_apply(hcam.pose, hcam.deprojectz(p, jnp.float32(1.0)))
         n = n / jnp.linalg.norm(n)
-        peakval = fmap[mx[1], mx[0]]
+        peakval = fmap.max()  # value at the first argmax == the max (no gather)
         return jnp.concatenate([n, peakval[None]]), p, conf
 
     crays, image_points, confidence = jax.vmap(per_map)(hm)

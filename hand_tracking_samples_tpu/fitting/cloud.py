@@ -236,6 +236,8 @@ def fit_error(state: BodyState, model, points, point_mask, depth, depth_cam,
     inside = ((pi[:, 0] >= 0) & (pi[:, 0] <= dim[1] - 1)
               & (pi[:, 1] >= 0) & (pi[:, 1] <= dim[0] - 1))
     piq = jnp.clip(pi, 0, jnp.asarray([dim[1] - 1, dim[0] - 1]))
+    # 17-point gather: cheaper than a one-hot pick here (the pick would
+    # stream the whole image through the u16 bf16-plane split for 17 rows)
     dvals = depth[piq[:, 1], piq[:, 0]].astype(jnp.float32) * depth_cam.depth_scale
     bone_error = jnp.clip(dvals - local[:, 2], 0.0, 0.01)
     bone_error_sum = jnp.where(inside, bone_error, 0.0).sum()

@@ -105,6 +105,26 @@ def sample(src, src_cam: DCamera, dst_cam: DCamera, background=0):
                      jnp.asarray(background, src.dtype))
 
 
+def gather_pixels_u16(img, r, c):
+    """img (H,W) uint16, r/c (K,) int32 clipped row/col indices -> (K,) f32
+    pixel values.  One-hot MXU row pick, exact in bf16 by splitting u16 into
+    two <=8-bit planes (single-term sums); a K-point gather on TPU costs
+    orders of magnitude more than these two matmuls."""
+    H, W = img.shape
+    oh = (r[:, None] == jnp.arange(H, dtype=jnp.int32)[None, :]
+          ).astype(jnp.bfloat16)                          # (K, H)
+    srcf = img.astype(jnp.float32)
+    hi8 = jnp.floor(srcf * (1.0 / 256.0))
+    lo8 = srcf - hi8 * 256.0
+    picked = (jnp.dot(oh, hi8.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) * 256.0
+              + jnp.dot(oh, lo8.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32))  # (K, W)
+    lanes = jnp.arange(W, dtype=jnp.int32)
+    return jnp.sum(jnp.where(c[:, None] == lanes[None, :], picked, 0.0),
+                   axis=1)
+
+
 def sample_d(src, src_cam: DCamera, dst_cam: DCamera, background):
     """SampleD (misc_image.h:154-162): point-resample a depth image under a
     new camera, correcting sampled depth to the destination image plane."""
@@ -122,25 +142,10 @@ def sample_d(src, src_cam: DCamera, dst_cam: DCamera, background):
               & (ppi[..., 1] >= 0) & (ppi[..., 1] <= sh - 1))
     ppc = jnp.clip(ppi, 0, jnp.asarray([sw - 1, sh - 1]))
     if src.dtype == jnp.uint16 and H * W <= 8192:
-        # the (H*W)-pixel gather costs ~30 ms at T=512 on TPU; pick rows with
-        # a one-hot MXU matmul instead, exact in bf16 by splitting u16 into
-        # two <=8-bit planes (bf16 holds integers <= 256 exactly; each
-        # one-hot row has a single 1, so sums have one term)
-        r = ppc[..., 1].reshape(-1)                       # (M,)
-        c = ppc[..., 0].reshape(-1)
-        oh_row = (r[:, None] == jnp.arange(sh, dtype=jnp.int32)[None, :]
-                  ).astype(jnp.bfloat16)                  # (M, sh)
-        srcf = src.astype(jnp.float32)
-        hi8 = jnp.floor(srcf * (1.0 / 256.0))
-        lo8 = srcf - hi8 * 256.0
-        picked = (jnp.dot(oh_row, hi8.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32) * 256.0
-                  + jnp.dot(oh_row, lo8.astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32))  # (M, sw)
-        lanes = jnp.arange(sw, dtype=jnp.int32)
-        sampled = jnp.sum(
-            jnp.where(c[:, None] == lanes[None, :], picked, 0.0),
-            axis=1).reshape(H, W).astype(src.dtype)
+        # the (H*W)-pixel gather costs ~30 ms at T=512 on TPU
+        sampled = gather_pixels_u16(
+            src, ppc[..., 1].reshape(-1),
+            ppc[..., 0].reshape(-1)).reshape(H, W).astype(src.dtype)
     else:
         sampled = src[ppc[..., 1], ppc[..., 0]]
     ppdir = pose_apply(dst_cam.pose, dst_cam.deprojectz(dst_cam.principal,

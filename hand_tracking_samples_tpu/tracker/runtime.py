@@ -497,14 +497,10 @@ def _get_reset_entry(config: TrackerConfig):
 # update_cnn_model (handtrack.h:693-746)
 # ---------------------------------------------------------------------------
 
-@_full_precision
-def update_cnn_model(state: TrackerState, model, cnn_params, depth,
-                     cam: DCamera, config: TrackerConfig, params,
-                     schedule=None, cloud=None):
-    """The background-thread body, as a pure function.  Returns
-    (new TrackerState, CnnDebug).  `cloud`: optional precomputed
-    (points, mask) from the caller's own cloud_from_depth of the same frame
-    (update() passes its own — avoids building the cloud twice per frame)."""
+def _cnn_frame_inputs(cnn_params, depth, cam: DCamera, config: TrackerConfig,
+                      cloud=None):
+    """Shared CNN-frame prologue: segment, net forward, decode, cloud.
+    Returns (seg, analysis, cnn_input, cnn_output, vpts, vmask)."""
     drange = (0.1, config.drangey)
     seg = hand_segment_vr(depth, cam, 0xF, drange, config.segment_scale)
     hcam = seg.cam.sub(4)
@@ -523,6 +519,19 @@ def update_cnn_model(state: TrackerState, model, cnn_params, depth,
             from ..imaging.image_ops import mirror_plane_split
             vpts, vmask = mirror_plane_split(
                 vpts, vmask, jnp.asarray(config.mirror_plane, jnp.float32))
+    return seg, analysis, cnn_input, cnn_output, vpts, vmask
+
+
+@_full_precision
+def update_cnn_model(state: TrackerState, model, cnn_params, depth,
+                     cam: DCamera, config: TrackerConfig, params,
+                     schedule=None, cloud=None):
+    """The background-thread body, as a pure function.  Returns
+    (new TrackerState, CnnDebug).  `cloud`: optional precomputed
+    (points, mask) from the caller's own cloud_from_depth of the same frame
+    (update() passes its own — avoids building the cloud twice per frame)."""
+    seg, analysis, cnn_input, cnn_output, vpts, vmask = _cnn_frame_inputs(
+        cnn_params, depth, cam, config, cloud)
 
     olderror = fit_error(state.body, model, vpts, vmask, depth, cam,
                          config.bone_sum_error_scale,
@@ -563,6 +572,54 @@ def kickstart(state: TrackerState, model, cnn_params, depth, cam, config,
     # kickstart always takes the pose (SetPose of the returned pose; the
     # returned pose is only non-empty under `take`, so this is identical)
     return new, dbg
+
+
+# palm-frame flips that span the edge-on / clenched view ambiguities the CNN
+# cannot resolve from one 64x64 crop: identity, and pi about each local axis
+_HYP_FLIPS = jnp.asarray([[0.0, 0.0, 0.0, 1.0],
+                          [1.0, 0.0, 0.0, 0.0],
+                          [0.0, 1.0, 0.0, 0.0],
+                          [0.0, 0.0, 1.0, 0.0]], jnp.float32)
+
+
+@_full_precision
+def kickstart_multi(state: TrackerState, model, cnn_params, depth,
+                    cam: DCamera, config: TrackerConfig, params,
+                    n_hyp: int = 4):
+    """Multi-hypothesis re-acquisition (TPU-framework addition; the
+    reference's kickstart, handtrack.h:743, is the n_hyp=1 column).
+
+    The net's palm orientation is ambiguous on edge-on and clenched views —
+    the dominant cold-start failure is a stable wrong-basin pose.  Run the
+    full reset path (PoseFromScratch + unibody passes + MultiStepSim) from
+    n_hyp palm-frame hypotheses and keep the lowest-FitError body.  Cost is
+    n_hyp x one heavy frame, paid only at acquisition."""
+    seg, analysis, cnn_input, cnn_output, vpts, vmask = _cnn_frame_inputs(
+        cnn_params, depth, cam, config)
+
+    def fit_one(flip):
+        a = analysis._replace(palmq=qmul(analysis.palmq, flip))
+        b = pose_from_scratch(state.body, model, a, vpts, vmask,
+                              seg.cam.pose)
+        for _ in range(config.steps_unibody):
+            b = unibody_fit(b, model, params, vpts, vmask, seg.cam.pose[:3],
+                            config.unibody_force, config.physics_iterations,
+                            config.physics_iterations_post,
+                            use_kernel=config.use_pallas)
+        b = multi_step_sim(b, model, a, vpts, vmask, seg.cam.pose, config,
+                           params)
+        err = fit_error(b, model, vpts, vmask, depth, cam,
+                        config.bone_sum_error_scale,
+                        use_kernel=config.use_pallas)
+        return b, err
+
+    bodies, errs = jax.vmap(fit_one)(_HYP_FLIPS[:n_hyp])
+    k = jnp.argmin(errs)
+    body = jax.tree.map(lambda x: x[k], bodies)
+    dbg = CnnDebug(cnn_input=cnn_input, cnn_output=cnn_output,
+                   image_points=analysis.image_points,
+                   segment_cam_pose=seg.cam.pose)
+    return TrackerState(body, jnp.float32(0.0), state.initializing), dbg
 
 
 # ---------------------------------------------------------------------------

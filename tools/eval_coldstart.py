@@ -28,6 +28,7 @@ CNNB = os.environ.get("EVAL_CNNB", "assets/handposedd_synth_v3.cnnb")
 T = int(os.environ.get("EVAL_TRACKS", "64"))
 F = int(os.environ.get("EVAL_FRAMES", "8"))
 SOLVER = os.environ.get("EVAL_SOLVER", "kernel")
+HYP = int(os.environ.get("EVAL_HYP", "1"))  # kickstart_multi hypotheses
 
 
 def main():
@@ -47,6 +48,15 @@ def main():
     states = states._replace(initializing=jnp.full(T, 50, jnp.int32))
     run = jax.jit(lambda s, d: batched_update(s, model, cnn_params, d, cam,
                                               config, params))
+    ks_frames = int(os.environ.get("EVAL_HYP_FRAMES", "1"))
+    if HYP > 1:
+        from hand_tracking_samples_tpu.tracker.runtime import kickstart_multi
+        ks = jax.jit(jax.vmap(lambda s, d: kickstart_multi(
+            s, model, cnn_params, d, cam, config, params, n_hyp=HYP)[0]))
+        for f in range(ks_frames):
+            states = ks(states, render(jnp.asarray(bank[starts + f])))
+        print(f"kickstart_multi n_hyp={HYP} applied at frames "
+              f"0..{ks_frames - 1}", flush=True)
     errs = []
     for f in range(F):
         gt = jnp.asarray(bank[starts + f])
