@@ -22,6 +22,7 @@ DEFAULT_VANITY_BONES = _find("vanity_bones.json")
 # (the residual mean is stuck-track dominated, net-independent).
 _PREFERRED = ("handposedd_synth_v4.cnnb", "handposedd_synth_v3.cnnb",
               "handposedd_synth_v2.cnnb", "handposedd_synth.cnnb")
-DEFAULT_CNNB = next((os.path.join(_LOCAL, n) for n in _PREFERRED
-                     if os.path.exists(os.path.join(_LOCAL, n))),
-                    os.path.join(_LOCAL, "handposedd_synth.cnnb"))
+DEFAULT_CNNB = os.environ.get("HTS_CNNB") or next(
+    (os.path.join(_LOCAL, n) for n in _PREFERRED
+     if os.path.exists(os.path.join(_LOCAL, n))),
+    os.path.join(_LOCAL, "handposedd_synth.cnnb"))

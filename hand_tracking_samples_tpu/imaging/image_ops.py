@@ -280,6 +280,13 @@ def cloud_from_depth(depth, cam: DCamera, range_lo, range_hi, frac: int,
     Returns (points (budget,3), mask)."""
     H, W = depth.shape
     assert (H * W) % 128 == 0
+    if jax.default_backend() == "tpu" and budget % 8 == 0:
+        # whole pipeline in one VMEM-resident kernel (bit-identical; the
+        # XLA formulation below streams ~2 GB of intermediates per
+        # 512-track frame-step)
+        from ..ops.cloud_kernel import cloud_from_depth_kernel
+        return cloud_from_depth_kernel(depth, cam, range_lo, range_hi,
+                                       frac, budget)
     # all counting runs in f32: every integer here is < 2^24 so f32 is exact,
     # lane cumsums become (R,128)@(128,128) MXU matmuls against a 0/1
     # triangular matrix (integer sums <= 128 — no accumulation error), and no
@@ -310,9 +317,17 @@ def cloud_from_depth(depth, cam: DCamera, range_lo, range_hi, frac: int,
     oh_row = (le & ~jnp.concatenate(
         [le[:, 1:], jnp.zeros((budget, 1), bool)], axis=1)).astype(jnp.float32)
     j = s - jnp.sum(oh_row * kbase[None, :], axis=1)          # s - kbase[row]
-    picked = jnp.dot(oh_row, jnp.concatenate([k_in, draw], axis=1),
-                     precision=jax.lax.Precision.HIGHEST)     # (S, 256)
-    k_rows, d_rows = picked[:, :128], picked[:, 128:]
+    # exact bf16 picks (single-term sums; k_in <= 128 fits bf16, raw depth
+    # splits into two <=8-bit planes) — an f32 HIGHEST matmul costs 6 passes
+    oh16 = oh_row.astype(jnp.bfloat16)
+    hi8 = jnp.floor(draw * (1.0 / 256.0))
+    lo8 = draw - hi8 * 256.0
+    k_rows = jnp.dot(oh16, k_in.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)      # (S, 128)
+    d_rows = (jnp.dot(oh16, hi8.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32) * 256.0
+              + jnp.dot(oh16, lo8.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32))  # (S, 128)
     lane = jnp.sum((k_rows <= j[:, None]).astype(jnp.int32), axis=1)
     lane = jnp.minimum(lane, 127)
     lanes = jnp.arange(128, dtype=jnp.int32)

@@ -1,0 +1,160 @@
+"""Pallas TPU kernel: the whole cloud_from_depth pipeline for one track in
+VMEM (PointCloud + takesubsample + compaction, misc_image.h:409-417 +
+handtrack.h:679 semantics, same math as imaging.image_ops.cloud_from_depth).
+
+The XLA formulation materialises ~2 GB of (rows, 128) / (slots, rows)
+intermediates per 512-track frame-step (valid masks, two lane cumsums, the
+slot->row one-hot, the picked rows); this kernel reads the 300 KB raw depth
+raster per track and writes the (slots, 8) result.  Counting is exact f32
+(every integer < 2^24); lane cumsums are 0/1-triangular bf16 matmuls
+(integer sums <= 128) and the slot->(row, lane) picks are single-term bf16
+one-hot contractions with the u16 depth split into two <=8-bit planes.
+
+Bit-identical to imaging.image_ops.cloud_from_depth (asserted in
+tests/test_cloud_kernel.py); that XLA path remains the non-TPU route.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
+    def kernel(draw_ref, scal_ref, out_ref):
+        lo = scal_ref[0]
+        hi = scal_ref[1]
+        scale = scal_ref[2]
+
+        draw = draw_ref[:]                                 # (Rp, 128) f32
+        d = draw * scale
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (Rp, 128), 0)
+        v = (d >= lo) & (d < hi) & (iota_r < R)            # (Rp, 128)
+
+        ii = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        tri = (ii <= jj).astype(jnp.bfloat16)              # cumsum matmul
+
+        def lane_cumsum(m):
+            return jax.lax.dot_general(
+                m.astype(jnp.bfloat16), tri, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)       # inclusive
+
+        def row_cumsum_excl(col):
+            # col (Rp, 1) f32 -> exclusive cumsum over rows via log rolls
+            cum = jnp.broadcast_to(col, (Rp, 128))
+            k = 1
+            while k < Rp:
+                r = pltpu.roll(cum, k, axis=0)
+                cum = cum + jnp.where(iota_r >= k, r, 0.0)
+                k *= 2
+            return cum[:, 0:1] - col                       # (Rp, 1)
+
+        c_in = lane_cumsum(v)                              # (Rp, 128)
+        row_base = row_cumsum_excl(c_in[:, 127:128])
+        rank = row_base + c_in - 1.0
+        kept = v & (jnp.floor(rank * (1.0 / frac)) * frac == rank)
+        k_in = lane_cumsum(kept)                           # (Rp, 128)
+        krow = k_in[:, 127:128]                            # (Rp, 1)
+        kbase = row_cumsum_excl(krow)                      # (Rp, 1)
+        total = jnp.max(kbase + krow)
+
+        # slot -> row: le2[r, s] = kbase[r] <= s (row-major, no transposes);
+        # the winner is the last such row, i.e. le2[r] & ~le2[r+1].  Mosaic
+        # cannot rotate i1 vectors, so shift kbase (f32) instead of le2.
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (Rp, S), 1).astype(jnp.float32)
+        iota_rs = jax.lax.broadcasted_iota(jnp.int32, (Rp, S), 0)
+        le2 = (kbase <= iota_s) & (iota_rs < R)            # (Rp, S)
+        kb_next = pltpu.roll(jnp.broadcast_to(kbase, (Rp, 128)),
+                             Rp - 1, axis=0)[:, 0:1]       # kbase[r+1]
+        nxt = (kb_next <= iota_s) & (iota_rs < R - 1)
+        oh2 = (le2 & ~nxt).astype(jnp.bfloat16)            # one-hot row per s
+
+        def pick_rows(m):
+            # (Rp, 128) values -> (S, 128) rows selected per slot
+            return jax.lax.dot_general(
+                oh2, m, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+
+        def pick_col(col):
+            # (Rp, 1) -> (S, 1)
+            return jax.lax.dot_general(
+                oh2, col.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+
+        hi8 = jnp.floor(draw * (1.0 / 256.0))
+        lo8 = draw - hi8 * 256.0
+        k_rows = pick_rows(k_in.astype(jnp.bfloat16))      # (S, 128)
+        d_rows = (pick_rows(hi8.astype(jnp.bfloat16)) * 256.0
+                  + pick_rows(lo8.astype(jnp.bfloat16)))   # (S, 128)
+
+        # kbase <= 19,200 exceeds bf16's exact-integer range: split it too
+        kb_hi = jnp.floor(kbase * (1.0 / 256.0))
+        kb_lo = kbase - kb_hi * 256.0
+        kbase_s = pick_col(kb_hi) * 256.0 + pick_col(kb_lo)  # (S, 1)
+        iota_rc = jax.lax.broadcasted_iota(jnp.int32, (Rp, 1), 0).astype(jnp.float32)
+        row_hi = jnp.floor(iota_rc * (1.0 / 256.0))
+        row_lo = iota_rc - row_hi * 256.0
+        row_s = pick_col(row_hi) * 256.0 + pick_col(row_lo)  # (S, 1)
+
+        iota_ss = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).astype(jnp.float32)
+        j = iota_ss - kbase_s                              # (S, 1)
+        lane = jnp.sum((k_rows <= j).astype(jnp.float32), axis=1,
+                       keepdims=True)                      # (S, 1)
+        lane = jnp.minimum(lane, 127.0)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1).astype(jnp.float32)
+        z = jnp.sum(jnp.where(iota_l == lane, d_rows, 0.0), axis=1,
+                    keepdims=True) * scale                 # (S, 1)
+        ok = (iota_ss < total).astype(jnp.float32)
+        flat = row_s * 128.0 + lane
+        # true division (exact when the quotient is representable); a
+        # reciprocal multiply mis-floors exact multiples of W
+        py = jnp.floor(flat / W)
+        px = flat - py * W
+        out_ref[:] = jnp.concatenate(
+            [px, py, z, ok, jnp.zeros((S, 4), jnp.float32)], axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("R", "frac", "budget", "W"))
+def _cloud_call(draw, scal, R, frac, budget, W):
+    from ..physics.pgs_kernel import _interpret
+    Rp = draw.shape[0]
+    kernel = _make_kernel(R, Rp, budget, frac, W)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((budget, 8), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(draw, scal)
+
+
+def cloud_from_depth_kernel(depth, cam, range_lo, range_hi, frac: int,
+                            budget: int):
+    """Kernel route of imaging.image_ops.cloud_from_depth; same signature,
+    bit-identical output.  Requires (H*W) % 128 == 0."""
+    H, W = depth.shape
+    assert (H * W) % 128 == 0
+    R = (H * W) // 128
+    Rp = -(-R // 8) * 8
+    draw = depth.astype(jnp.float32).reshape(R, 128)
+    draw = jnp.pad(draw, ((0, Rp - R), (0, 0)))
+    scal = jnp.stack([jnp.float32(range_lo), jnp.float32(range_hi),
+                      jnp.float32(cam.depth_scale),
+                      jnp.float32(0), jnp.float32(0), jnp.float32(0),
+                      jnp.float32(0), jnp.float32(0)])
+    out = _cloud_call(draw, scal, R, frac, budget, W)
+    px, py, z, ok = out[:, 0], out[:, 1], out[:, 2], out[:, 3] > 0.5
+    pts = cam.deprojectz(jnp.stack([px, py], -1), z)
+    return pts, ok

@@ -585,7 +585,7 @@ _HYP_FLIPS = jnp.asarray([[0.0, 0.0, 0.0, 1.0],
 @_full_precision
 def kickstart_multi(state: TrackerState, model, cnn_params, depth,
                     cam: DCamera, config: TrackerConfig, params,
-                    n_hyp: int = 4):
+                    n_hyp: int = 4, lm_weight: float = 0.1):
     """Multi-hypothesis re-acquisition (TPU-framework addition; the
     reference's kickstart, handtrack.h:743, is the n_hyp=1 column).
 
@@ -611,7 +611,18 @@ def kickstart_multi(state: TrackerState, model, cnn_params, depth,
         err = fit_error(b, model, vpts, vmask, depth, cam,
                         config.bone_sum_error_scale,
                         use_kernel=config.use_pallas)
-        return b, err
+        # landmark-ray disagreement: the net's feature rays are hypothesis-
+        # independent evidence; a wrong-basin fit can match the cloud (low
+        # FitError) but puts thumb/finger features on the wrong rays
+        fw = jax.vmap(lambda bone, off: pose_apply(b.pose[bone], off))(
+            jnp.asarray(FEATURE_BONES, jnp.int32),
+            jnp.asarray(FEATURE_OFFSETS))                     # (8, 3)
+        d = fw - seg.cam.pose[:3]
+        d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True),
+                            1e-20)
+        agree = jnp.sum(d * a.crays[:, :3], axis=-1)          # (8,)
+        err_lm = jnp.sum(jnp.maximum(a.crays[:, 3], 0.0) * (1.0 - agree))
+        return b, err + lm_weight * err_lm
 
     bodies, errs = jax.vmap(fit_one)(_HYP_FLIPS[:n_hyp])
     k = jnp.argmin(errs)

@@ -1,0 +1,30 @@
+"""cloud_from_depth_kernel (interpret mode on CPU) must be bit-identical to
+the XLA cloud_from_depth on rendered depth frames."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+from hand_tracking_samples_tpu.assets_paths import (DEFAULT_ANIMBANK,
+                                                    DEFAULT_MODEL_JSON)
+from hand_tracking_samples_tpu.data.animbank import load_animbank
+from hand_tracking_samples_tpu.data.synth import fake_depth, synth_camera
+from hand_tracking_samples_tpu.imaging.image_ops import cloud_from_depth
+from hand_tracking_samples_tpu.model.bake import load_hand_model
+from hand_tracking_samples_tpu.ops.cloud_kernel import cloud_from_depth_kernel
+
+
+def test_cloud_kernel_bit_identical(hand_model):
+    bank = load_animbank(DEFAULT_ANIMBANK)
+    cam = synth_camera()
+    render = jax.jit(lambda p: fake_depth(p, hand_model, cam))
+    for i in (0, 123, 977):
+        depth = render(jnp.asarray(bank[i]))
+        pts_x, ok_x = jax.jit(lambda d: cloud_from_depth(
+            d, cam, 0.1, 0.7, 4, 1024))(depth)
+        pts_k, ok_k = jax.jit(lambda d: cloud_from_depth_kernel(
+            d, cam, 0.1, 0.7, 4, 1024))(depth)
+        np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_k))
+        m = np.asarray(ok_x)
+        np.testing.assert_array_equal(np.asarray(pts_x)[m],
+                                      np.asarray(pts_k)[m])

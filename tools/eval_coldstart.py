@@ -51,8 +51,10 @@ def main():
     ks_frames = int(os.environ.get("EVAL_HYP_FRAMES", "1"))
     if HYP > 1:
         from hand_tracking_samples_tpu.tracker.runtime import kickstart_multi
+        lam = float(os.environ.get("EVAL_HYP_LM", "0.1"))
         ks = jax.jit(jax.vmap(lambda s, d: kickstart_multi(
-            s, model, cnn_params, d, cam, config, params, n_hyp=HYP)[0]))
+            s, model, cnn_params, d, cam, config, params, n_hyp=HYP,
+            lm_weight=lam)[0]))
         for f in range(ks_frames):
             states = ks(states, render(jnp.asarray(bank[starts + f])))
         print(f"kickstart_multi n_hyp={HYP} applied at frames "
