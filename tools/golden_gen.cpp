@@ -511,6 +511,57 @@ int main(int argc, char **argv) {
             dump_floats("synctrack_atc_joint_err", errs3.data(), errs3.size());
         }
 
+        // reference cold-start baseline: the exact tools/eval_coldstart.py
+        // protocol (64 starts at (i*211) % (len-64), 64 frames each, fresh
+        // tracker from the rest pose with the same trained net) run through
+        // the reference HandTracker — the number our cold-start eval is
+        // measured against
+        if (argc > 4 && getenv("GG_COLDSTART")) {
+            const int CS_T = 64, CS_F = 64;
+            std::vector<float> final_err;
+            for (int t = 0; t < CS_T; t++) {
+                int start = (t * 211) % ((int)bank.size() - CS_F);
+                HandTracker cs;
+                cs.cnn.loadb(argv[4]);
+                cs.initializing = 50;
+                float je = 0;
+                for (int f = 0; f < CS_F; f++) {
+                    fakehand.SetPose(bank[start + f]);
+                    auto dimage = fake_depth(fakehand);
+                    auto pose = cs.update_cnn_model(dimage);
+                    cs.handmodel.SetPose(pose);
+                    auto points = takesubsample(
+                        PointCloud(dimage, {0.1f, cs.drangey}),
+                        cs.subsample_fraction);
+                    for (int i = 0; !cs.angles_only && i < cs.mainthreadpasses; i++) {
+                        std::vector<LimitLinear> linears;
+                        std::vector<LimitAngular> angulars;
+                        HandModelEnhancements(cs.handmodel, angulars, false,
+                                              float3(0, 0, 0), float3(0, 0, 0), 0);
+                        if (points.size() > cs.min_point_num && cs.boundary_planes) {
+                            std::vector<float3> outdirs = {float3(-1, -0.25f, 0), float3(-1, -1, 0),
+                                                           float3(0, -1, 0), float3(1, -1, 0), float3(1, -0.25f, 0)};
+                            Append(linears, cloud_chamber(cs.handmodel, points, outdirs,
+                                                          {0, 0, 0}, {0, 0, 1}, 10.0f));
+                        }
+                        cs.handmodel.FitPointCloud(points, linears, angulars, cs.microforce);
+                    }
+                    if (points.size() < cs.min_point_num) cs.initializing = 50;
+                    if (f == CS_F - 1) {
+                        je = 0;
+                        for (int b = 0; b < 17; b++)
+                            je += length(cs.handmodel.rigidbodies[b].position
+                                         - fakehand.rigidbodies[b].position);
+                        je /= 17.0f;
+                    }
+                }
+                final_err.push_back(je);
+                fprintf(stderr, "coldstart %d/%d start=%d err=%.1fmm\n",
+                        t + 1, CS_T, start, je * 1000.0f);
+            }
+            dump_floats("coldstart_ref_err", final_err.data(), final_err.size());
+        }
+
         // dynamics-only tracking: start at ground truth, no CNN, 1-frame steps
         {
             PhysModel tracked = LoadHandModel();
