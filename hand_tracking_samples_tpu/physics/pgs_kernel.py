@@ -50,6 +50,14 @@ BP = 24          # body slots (17 -> sublane multiple)
 TBLK = 128       # tracks per kernel block (the lane axis)
 
 
+def _tblk(plan) -> int:
+    # Pallas TPU lane blocks must be 128-wide (or the whole array), so the
+    # lane axis cannot shrink for large-CS plans; cloud_rows_per_body > 128
+    # at T > 128 exceeds the VMEM singles window on the kernel path — use
+    # solver="colored" there (tracker/config.py documents the envelope).
+    return TBLK
+
+
 def _round8(x: int) -> int:
     return max(8, -(-x // 8) * 8)
 
@@ -378,12 +386,13 @@ def _pallas_solve(plan: SolvePlan, iterations: int, iterations_post: int,
     """mom0 (6BP, T), mi (BP, T), s_all (CS, 14BP, T), per-class row stacks.
     T must be a multiple of TBLK.  Returns (2, 6BP, T)."""
     T = mom0.shape[-1]
-    grid = (T // TBLK,)
+    tblk = _tblk(plan)
+    grid = (T // tblk,)
     kernel = _make_kernel(plan, iterations, iterations_post)
 
     def tspec(shape):
         nd = len(shape)
-        return pl.BlockSpec(shape[:-1] + (TBLK,),
+        return pl.BlockSpec(shape[:-1] + (tblk,),
                             (lambda i: (0, i)) if nd == 2 else
                             (lambda i: (0, 0, i)),
                             memory_space=pltpu.VMEM)
@@ -406,17 +415,17 @@ def _pallas_solve(plan: SolvePlan, iterations: int, iterations_post: int,
 
     scratch = []
     if plan.CS:
-        scratch.append(pltpu.VMEM((plan.CS * BP, TBLK), jnp.float32))
+        scratch.append(pltpu.VMEM((plan.CS * BP, tblk), jnp.float32))
     for cls in plan.lin_classes:
-        scratch.append(pltpu.VMEM((cls.n_phases * cls.W, TBLK), jnp.float32))
+        scratch.append(pltpu.VMEM((cls.n_phases * cls.W, tblk), jnp.float32))
     for cls in plan.ang_classes:
-        scratch.append(pltpu.VMEM((cls.n_phases * cls.W, TBLK), jnp.float32))
+        scratch.append(pltpu.VMEM((cls.n_phases * cls.W, tblk), jnp.float32))
 
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((2, 6 * BP, TBLK), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((2, 6 * BP, tblk), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, 6 * BP, T), jnp.float32),
         scratch_shapes=scratch,
@@ -658,7 +667,7 @@ def _solve_batched(plan, iterations, iterations_post, state, bodies,
     """state leaves (T, B, ...); row leaves (T, ...). Returns BodyState."""
     dt = params.deltaT
     T, B = state.pose.shape[0], state.pose.shape[1]
-    Tp = -(-T // TBLK) * TBLK
+    Tp = -(-T // _tblk(plan)) * _tblk(plan)
 
     dampleftover = jnp.power(
         1.0 - jnp.maximum(bodies.damping, params.damping), dt)

@@ -54,7 +54,9 @@ class TrackerConfig:
     solver: str = "sequential"      # "sequential" (bit-faithful row order) or
     # "colored" (disjoint-row groups; identical up to commuting rows, with a
     # per-body cloud-row cap of cloud_rows_per_body)
-    cloud_rows_per_body: int = 128
+    cloud_rows_per_body: int = 128  # per-body cloud-row slots (solver="kernel"
+    # fits <=128 in VMEM at T>128; 256 is worth ~0.8mm cold-start accuracy and
+    # works at T<=128 or with solver="colored" — docs/PERFORMANCE.md)
     use_pallas: bool = False        # fused correspondence kernel (TPU only);
     # requires point budgets that are multiples of 512
     contacts_mode: str = "exact"    # "exact" precedence schedule or "jacobi"
