@@ -27,6 +27,7 @@ The v-loop inside the face step is a static 48-iteration unroll of 2D
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,16 +43,18 @@ P = 96            # padded planes per hull
 NCH = 12          # output channels per manifold point
 
 
-def _make_kernel(B: int, NP: int, n_points: int, refine_iters: int):
+def _make_kernel(B: int, NP: int, n_points: int, refine_iters: int,
+                 pairs=None):
+    """pairs: optional static ((a, b), ...) — unrolls the pair loop with
+    static body slices (no dynamic-slice loads; Mosaic vectorises the whole
+    sweep).  None keeps the dynamic fori_loop (smaller program)."""
     B48, B96 = B * V, B * P
 
     def kernel(vw_ref, nw_ref, dw_ref, aux_ref, pa_ref, pb_ref, scal_ref,
                out_ref):
         driftmax = scal_ref[0]
 
-        def pair_body(i, carry):
-            a = pa_ref[i]
-            b = pb_ref[i]
+        def pair_body(i, a, b):
             auxa = aux_ref[pl.ds(a * 16, 16), :]               # (16, T)
             auxb = aux_ref[pl.ds(b * 16, 16), :]
 
@@ -186,23 +189,28 @@ def _make_kernel(B: int, NP: int, n_points: int, refine_iters: int):
 
             out_ref[pl.ds(i * (NCH * n_points), NCH * n_points), :] = (
                 jax.lax.cond(jnp.any(near), do_pair, skip_pair, 0))
-            return carry
+            return 0
 
-        jax.lax.fori_loop(0, NP, pair_body, 0)
+        if pairs is not None:
+            for i, (a, b) in enumerate(pairs):
+                pair_body(i, a, b)
+        else:
+            jax.lax.fori_loop(
+                0, NP, lambda i, c: pair_body(i, pa_ref[i], pb_ref[i]), 0)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("B", "NP", "n_points",
-                                             "refine_iters"))
+                                             "refine_iters", "pairs"))
 def _contact_fields_call(vw, nw, dw, aux, pa, pb, scal, B, NP, n_points,
-                         refine_iters):
+                         refine_iters, pairs=None):
     from .pgs_kernel import _interpret
     T = vw.shape[1]
     Tp = -(-T // TBLK) * TBLK
     pad = [(0, 0), (0, Tp - T)]
     vw, nw, dw, aux = (jnp.pad(x, pad) for x in (vw, nw, dw, aux))
-    kernel = _make_kernel(B, NP, n_points, refine_iters)
+    kernel = _make_kernel(B, NP, n_points, refine_iters, pairs)
     grid = Tp // TBLK
     bs = lambda r: pl.BlockSpec((r, TBLK), lambda t: (0, t),
                                 memory_space=pltpu.VMEM)
@@ -277,10 +285,17 @@ def contact_fields(pose_b, lin_b, ang_b, model, params, n_points: int,
     aux_f = aux.reshape(B * 16, T)
     scal = jnp.zeros(8, jnp.float32).at[0].set(params.driftmax)
 
+    # HTS_CONTACT_UNROLL=1 unrolls the 87 pairs with static body slices —
+    # measured as a Mosaic compile-time blowup (>25 min) for no shippable
+    # win; the dynamic fori_loop is the default
+    static_pairs = (tuple(tuple(int(v) for v in p) for p in pairs)
+                    if os.environ.get("HTS_CONTACT_UNROLL", "0") == "1"
+                    else None)
     out = _contact_fields_call(vw_f, nw_f, dw_f, aux_f,
                                jnp.asarray(pairs[:, 0], jnp.int32),
                                jnp.asarray(pairs[:, 1], jnp.int32), scal,
-                               B, NP, n_points, refine_iters)
+                               B, NP, n_points, refine_iters,
+                               pairs=static_pairs)
     x = out.reshape(NP, NCH, n_points, T)
     n = [x[:, 9 + c, 0] for c in range(3)]                 # (NP, T)
     return (n, x[:, 0], x[:, 1],
