@@ -8,6 +8,7 @@ masked alternatives selected with jnp.where, so shapes stay static.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..maths.pose import pose_apply, pose_inverse, pose_mul, pose_quat
@@ -156,6 +157,34 @@ def constrain_cone_angle(state, b0, n0, b1, n1, limitangle_degrees, params,
         axis=jnp.atleast_2d(axis), targetspin=mk1(targetspin),
         mintorque=mk1(mint), maxtorque=mk1(FLT_MAX),
         active=jnp.atleast_1d(jnp.asarray(active, bool)))
+
+
+def constrain_cone_angle_batch(state, b0, n0, b1, n1, limitangle_degrees,
+                               params, active=True):
+    """K cone rows in one call (same math as constrain_cone_angle, all
+    elementwise over the leading K axis) — collapses the per-row Python
+    loops of apply_angles / hand_model_enhancements into one HLO set.
+
+    b0/b1 (K,) int32; n0/n1 (K,3); limitangle_degrees (K,) float."""
+    b0 = jnp.asarray(b0, jnp.int32)
+    b1 = jnp.asarray(b1, jnp.int32)
+    lim = jnp.asarray(limitangle_degrees, jnp.float32)
+    equality = lim == 0.0
+    q0 = jax.vmap(lambda b: pose_quat(_maybe(state, b)))(b0)
+    q1 = jax.vmap(lambda b: pose_quat(_maybe(state, b)))(b1)
+    a0 = jnp.where((b0 >= 0)[:, None], jax.vmap(qrot)(q0, n0), n0)
+    a1 = jax.vmap(qrot)(q1, n1)
+    axis = jax.vmap(safenormalize)(jnp.cross(a1, a0))
+    rbangle = jnp.arccos(jnp.clip(jnp.sum(a0 * a1, -1), 0.0, 1.0))
+    dangle = rbangle - lim * 3.14 / 180.0
+    bias = jnp.where(equality, params.biasfactorjoint, 1.0)
+    targetspin = bias * dangle / params.deltaT
+    mint = jnp.where(lim > 0.0, 0.0, -FLT_MAX)
+    K = b0.shape[0]
+    return AngularRows(
+        b0=b0, b1=b1, axis=axis, targetspin=targetspin,
+        mintorque=mint, maxtorque=jnp.full(K, FLT_MAX),
+        active=jnp.broadcast_to(jnp.asarray(active, bool), (K,)))
 
 
 def constrain_angular_range(state, b0, b1, jointframe, limitmin_deg,

@@ -36,7 +36,9 @@ from ..model.hand import (body_params, fit_point_cloud, fix_positions,
                           get_pose_user, initial_state)
 from ..physics.constraints import (constrain_along_direction_deadzone,
                                    constrain_angular_drive,
-                                   constrain_cone_angle, relative_angular_rows)
+                                   constrain_cone_angle,
+                                   constrain_cone_angle_batch,
+                                   relative_angular_rows)
 from ..physics.contacts import contact_rows
 from ..physics.solver import (AngularRows, BodyParams, BodyState, LinearRows,
                               PhysicsParams, concat_angular, concat_linear,
@@ -114,11 +116,14 @@ def hand_model_enhancements(body: BodyState, model, params,
     rmax = jnp.asarray(model.joint_rangemax)
 
     # distal joints: x-range pinned to half the upper knuckle angle
-    for b in (7, 10, 13, 16):
-        ang = jnp.arccos(jnp.clip(jnp.sum(qzdir(q[b - 2]) * qzdir(q[b - 1])),
-                                  0.0, 1.0)) * 180.0 / 3.14159 / 2.0
-        rmin = rmin.at[b - 1, 0].set(ang)
-        rmax = rmax.at[b - 1, 0].set(ang)
+    # (batched over the 4 fingers — one arccos instead of four)
+    db = jnp.asarray([7, 10, 13, 16])
+    z2 = jax.vmap(qzdir)(q[db - 2])
+    z1 = jax.vmap(qzdir)(q[db - 1])
+    ang = jnp.arccos(jnp.clip(jnp.sum(z2 * z1, -1), 0.0, 1.0)) \
+        * 180.0 / 3.14159 / 2.0
+    rmin = rmin.at[db - 1, 0].set(ang)
+    rmax = rmax.at[db - 1, 0].set(ang)
 
     rows = []
     if tiepinkyringmid:
@@ -141,14 +146,14 @@ def hand_model_enhancements(body: BodyState, model, params,
                 jnp.int32(3 + finger * 3), jnp.asarray([0.0, 0, 1]), 10.0,
                 params))
 
-    # abduction gating on curl (handtrack.h:434-440)
-    knuckle = {14: (-30.0, 10.0), 11: (-10.0, 10.0), 8: (-10.0, 10.0),
-               5: (-10.0, 20.0)}
+    # abduction gating on curl (handtrack.h:434-440), batched over knuckles
+    kb = jnp.asarray([14, 11, 8, 5])
+    klo = jnp.asarray([-30.0, -10.0, -10.0, -10.0])
+    khi = jnp.asarray([10.0, 10.0, 10.0, 20.0])
     cos40 = jnp.cos(40.0 * 3.14 / 180.0)
-    for bone, (lo, hi) in knuckle.items():
-        up = jnp.sum(qydir(q[1]) * qydir(q[bone])) > cos40
-        rmin = rmin.at[bone - 1, 1].set(jnp.where(up, lo, -0.0))
-        rmax = rmax.at[bone - 1, 1].set(jnp.where(up, hi, 0.0))
+    up = jnp.sum(qydir(q[1])[None, :] * jax.vmap(qydir)(q[kb]), -1) > cos40
+    rmin = rmin.at[kb - 1, 1].set(jnp.where(up, klo, -0.0))
+    rmax = rmax.at[kb - 1, 1].set(jnp.where(up, khi, 0.0))
 
     ang = concat_angular(*rows) if rows else AngularRows.empty(0)
     return ang, rmin, rmax
@@ -160,27 +165,30 @@ def hand_model_enhancements(body: BodyState, model, params,
 
 def apply_angles(body: BodyState, model, analysis: CNNAnalysis, camera_pose,
                  params, drive_force, coneangle: float = 10.0) -> AngularRows:
-    rows = [constrain_angular_drive(
+    drive = constrain_angular_drive(
         body, jnp.int32(-1), jnp.int32(1),
-        qmul(pose_quat(camera_pose), analysis.palmq), drive_force, params)]
+        qmul(pose_quat(camera_pose), analysis.palmq), drive_force, params)
+    # the 10 finger cones as ONE batched factory call (order preserved:
+    # thumb a0, then per finger [knuckle cone, mid cone])
+    zero = jnp.float32(0.0)
     a0 = analysis.finger_clenched[0]
-    rows.append(constrain_cone_angle(
-        body, jnp.int32(1), jnp.stack([jnp.cos(a0), jnp.float32(0.0), jnp.sin(a0)]),
-        jnp.int32(4), jnp.asarray([0.0, 0, 1]), coneangle, params))
+    n0s = [jnp.stack([jnp.cos(a0), zero, jnp.sin(a0)])]
+    b1s = [4]
     for finger in (1, 2, 3, 4):
         a = analysis.finger_clenched[finger]
-        rows.append(constrain_cone_angle(
-            body, jnp.int32(1),
-            jnp.stack([jnp.float32(0.0), -jnp.sin(a), jnp.cos(a)]),
-            jnp.int32(3 + finger * 3), jnp.asarray([0.0, 0, 1]), coneangle,
-            params))
+        n0s.append(jnp.stack([zero, -jnp.sin(a), jnp.cos(a)]))
+        b1s.append(3 + finger * 3)
         jf = jnp.asarray(model.joint_frame[1 + finger * 3])
-        n0 = qrot(jf, qrot(jf, jnp.stack([jnp.float32(0.0),
-                                          -jnp.sin(a / 2.0), jnp.cos(a / 2.0)])))
-        rows.append(constrain_cone_angle(
-            body, jnp.int32(1), n0, jnp.int32(2 + finger * 3),
-            jnp.asarray([0.0, 0, 1]), coneangle, params))
-    return concat_angular(*rows)
+        n0s.append(qrot(jf, qrot(jf, jnp.stack(
+            [zero, -jnp.sin(a / 2.0), jnp.cos(a / 2.0)]))))
+        b1s.append(2 + finger * 3)
+    K = len(b1s)
+    cones = constrain_cone_angle_batch(
+        body, jnp.full(K, 1, jnp.int32), jnp.stack(n0s),
+        jnp.asarray(b1s, jnp.int32),
+        jnp.broadcast_to(jnp.asarray([0.0, 0, 1]), (K, 3)),
+        jnp.full(K, coneangle, jnp.float32), params)
+    return concat_angular(drive, cones)
 
 
 # ---------------------------------------------------------------------------
