@@ -91,9 +91,35 @@ def main(argv=None):
         if f % 8 == 0 or f == args.frames - 1:
             print(f"frame {f:4d}: mean joint err {float(je)*1000:7.2f} mm")
         if args.dump_png and f % 8 == 0:
-            from ..utils.viz import depth_to_rgb, write_png
-            write_png(os.path.join(args.dump_png, f"depth_{f:04d}.png"),
-                      depth_to_rgb(np.asarray(depths[0])))
+            from ..utils.viz import depth_to_rgb, draw_points, write_png
+            img = depth_to_rgb(np.asarray(depths[0]))
+            # tracked bone origins (green) vs ground truth (red), projected
+            pb = np.asarray(states.body.pose[0, :, :3])
+            gb = np.asarray(gt[0, :, :3])
+            from ..maths.pose import pose_apply, pose_inverse
+            inv = pose_inverse(cam.pose)
+            for pts, col in ((gb, (255, 64, 64)), (pb, (64, 255, 96))):
+                local = np.array(jax.vmap(
+                    lambda p: pose_apply(inv, jnp.asarray(p)))(pts))
+                local[:, 2] = np.maximum(local[:, 2], 1e-6)
+                px = np.asarray(cam.projectz(jnp.asarray(local)))
+                img = draw_points(img, px,
+                                  colors=np.tile(col, (len(px), 1)), size=2)
+            write_png(os.path.join(args.dump_png, f"depth_{f:04d}.png"), img)
+            try:
+                from ..assets_paths import DEFAULT_VANITY_BONES
+                from ..model.hand import get_pose_user
+                from ..model.meshes import export_obj, load_display_meshes
+                meshes = load_display_meshes(DEFAULT_VANITY_BONES)
+                export_obj(os.path.join(args.dump_png, f"hand_{f:04d}.obj"),
+                           meshes, np.asarray(get_pose_user(
+                               jtu.tree_map(lambda x: x[0], states.body),
+                               model)))
+            except Exception as e:  # vanity_bones.json optional
+                print(f"(obj export skipped: {e})", file=sys.stderr)
+    if args.dump_png:
+        from ..utils.report import write_html_report
+        print("report:", write_html_report(args.dump_png))
     dt = time.time() - t0
     total = args.frames * T
     print(f"\ntracked {total} frames in {dt:.2f}s "

@@ -24,7 +24,9 @@ from hand_tracking_samples_tpu.parallel.tracks import (batched_tracker_state,
 from hand_tracking_samples_tpu.tracker.config import TrackerConfig
 from hand_tracking_samples_tpu.tracker.runtime import physics_params
 
-CNNB = os.environ.get("EVAL_CNNB", "assets/handposedd_synth_v3.cnnb")
+from hand_tracking_samples_tpu.assets_paths import DEFAULT_CNNB  # noqa: E402
+
+CNNB = os.environ.get("EVAL_CNNB", DEFAULT_CNNB)
 T = int(os.environ.get("EVAL_TRACKS", "64"))
 F = int(os.environ.get("EVAL_FRAMES", "8"))
 SOLVER = os.environ.get("EVAL_SOLVER", "kernel")
@@ -36,7 +38,11 @@ def main():
     bank = load_animbank(DEFAULT_ANIMBANK)
     cam = synth_camera()
     config = TrackerConfig(point_budget=1024, cnn_every_frame=True,
-                           solver=SOLVER, use_pallas=SOLVER == "kernel")
+                           solver=SOLVER, use_pallas=SOLVER == "kernel",
+                           accum_error_threshold=float(
+                               os.environ.get("EVAL_ACCUM", "0.0")),
+                           cloud_rows_per_body=int(
+                               os.environ.get("EVAL_CLOUD_ROWS", "128")))
     params = physics_params(config)
     cnn_params = load_cnnb(CNNB)
 
