@@ -81,27 +81,28 @@ def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.DEFAULT)
 
-        def pick_col(col):
-            # (Rp, 1) -> (S, 1)
-            return jax.lax.dot_general(
-                oh2, col.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
-
         hi8 = jnp.floor(draw * (1.0 / 256.0))
         lo8 = draw - hi8 * 256.0
         k_rows = pick_rows(k_in.astype(jnp.bfloat16))      # (S, 128)
         d_rows = (pick_rows(hi8.astype(jnp.bfloat16)) * 256.0
                   + pick_rows(lo8.astype(jnp.bfloat16)))   # (S, 128)
 
-        # kbase <= 19,200 exceeds bf16's exact-integer range: split it too
+        # kbase <= 19,200 exceeds bf16's exact-integer range: split it too.
+        # All four (Rp, 1) column picks share the oh2 contraction, so they
+        # ride ONE N=4 matmul instead of four N=1 MXU passes (each column of
+        # a dot_general is an independent contraction — bit-identical).
         kb_hi = jnp.floor(kbase * (1.0 / 256.0))
         kb_lo = kbase - kb_hi * 256.0
-        kbase_s = pick_col(kb_hi) * 256.0 + pick_col(kb_lo)  # (S, 1)
         iota_rc = jax.lax.broadcasted_iota(jnp.int32, (Rp, 1), 0).astype(jnp.float32)
         row_hi = jnp.floor(iota_rc * (1.0 / 256.0))
         row_lo = iota_rc - row_hi * 256.0
-        row_s = pick_col(row_hi) * 256.0 + pick_col(row_lo)  # (S, 1)
+        cols = jnp.concatenate([kb_hi, kb_lo, row_hi, row_lo], axis=1)
+        picked = jax.lax.dot_general(
+            oh2, cols.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)           # (S, 4)
+        kbase_s = picked[:, 0:1] * 256.0 + picked[:, 1:2]  # (S, 1)
+        row_s = picked[:, 2:3] * 256.0 + picked[:, 3:4]    # (S, 1)
 
         iota_ss = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).astype(jnp.float32)
         j = iota_ss - kbase_s                              # (S, 1)
