@@ -1,9 +1,10 @@
 """Contact generation + contact-solve parity vs reference goldens.
 
 The reference emits up to 5 GJK ContactPatch points per colliding pair
-(gjk.h:608-643, physics.h:451-489); the TPU build emits one SAT face contact
-per pair (physics/contacts.py).  These tests quantify that approximation on
-the most self-contact-rich animbank pose:
+(gjk.h:608-643, physics.h:451-489); the TPU build emits SAT + support
+refinement + up-to-4-point manifolds per pair (physics/contacts.py).  These
+tests quantify that approximation on the most self-contact-rich animbank
+pose (test_contact_sweep.py widens it to a multi-frame sweep):
   * the set of colliding pairs must match (up to driftmax-boundary pairs),
   * the deepest-point separation per pair must match closely,
   * a 3-step joint+contact solve from the clenched pose must stay within the

@@ -54,31 +54,54 @@ def main():
         [np.arange(s, min(s + WINDOW, len(bank))) for s in fail_starts]))
     print(f"fine-tune window frames: {len(fail_ids)} / bank {len(bank)}")
 
+    # Frame-id-disjoint split: every 8th bank frame is heldout and appears in
+    # NO training copy (plain or augmented), so the quoted heldout mse cannot
+    # be inflated by duplicate renders of training frames.
+    all_ids = np.arange(len(bank))
+    held_ids = all_ids[all_ids % 8 == 3]
+    train_mask = np.ones(len(bank), bool)
+    train_mask[held_ids] = False
+    train_ids = all_ids[train_mask]
+    fail_train_ids = fail_ids[train_mask[fail_ids]]
+
     t0 = time.time()
-    cache = os.environ.get("FT_CACHE", "/tmp/ft_set.npz")
+    # Cache keyed on the effective config (dump identity, knobs, split) so a
+    # rerun with different knobs never silently reuses a stale set.
+    import hashlib
+    key = hashlib.sha1(repr((sorted(fail_starts.tolist()), FAIL_MM, WINDOW,
+                             PLAIN_COPIES, AUG_COPIES,
+                             held_ids.tolist())).encode()).hexdigest()[:12]
+    cache = os.environ.get("FT_CACHE", f"/tmp/ft_set_{key}.npz")
     if cache and os.path.exists(cache):
         zc = np.load(cache)
         data = TrainingSet(jnp.asarray(zc["x"]), jnp.asarray(zc["l"]),
                            jnp.asarray(zc["p"]))
+        held = TrainingSet(jnp.asarray(zc["hx"]), jnp.asarray(zc["hl"]),
+                           jnp.asarray(zc["hp"]))
         print(f"training set: {data.inputs.shape[0]} frames (cached)",
               flush=True)
     else:
-        sets = [synthetic_training_set(model, bank, np.arange(len(bank)))]
+        sets = [synthetic_training_set(model, bank, train_ids)]
         for k in range(max(PLAIN_COPIES - 1, 0)):
-            sets.append(synthetic_training_set(model, bank, fail_ids))
+            sets.append(synthetic_training_set(model, bank, fail_train_ids))
         for k in range(AUG_COPIES):
-            sets.append(synthetic_training_set(model, bank, fail_ids,
+            sets.append(synthetic_training_set(model, bank, fail_train_ids,
                                                augment=True,
                                                seed=5000 * (k + 1)))
         data = TrainingSet(*[jnp.concatenate(xs) for xs in zip(*sets)])
+        held = synthetic_training_set(model, bank, held_ids)
         if cache:
             np.savez(cache, x=np.asarray(data.inputs),
-                     l=np.asarray(data.labels), p=np.asarray(data.poses))
-        print(f"training set: {data.inputs.shape[0]} frames "
-              f"({time.time()-t0:.0f}s to render)", flush=True)
+                     l=np.asarray(data.labels), p=np.asarray(data.poses),
+                     hx=np.asarray(held.inputs), hl=np.asarray(held.labels),
+                     hp=np.asarray(held.poses))
+        print(f"training set: {data.inputs.shape[0]} frames, heldout "
+              f"{held.inputs.shape[0]} ({time.time()-t0:.0f}s to render)",
+              flush=True)
 
     params = load_cnnb(WARM)
-    print(f"warm-start heldout mse: {evaluate(params, data):.6f}", flush=True)
+    print(f"warm-start heldout mse: {evaluate(params, held, split='all'):.6f}",
+          flush=True)
     rng = np.random.RandomState(17)
     chunk = 2000
     done = 0
@@ -88,7 +111,7 @@ def main():
                                           batch_size=BATCH, alpha=ALPHA)
         done += chunk
         if done % 10000 == 0 or done == chunk:
-            ev = evaluate(params, data)
+            ev = evaluate(params, held, split="all")
             print(f"step {done:6d} alpha {ALPHA} train-mse {mse:.6f} "
                   f"heldout-mse {ev:.6f} ({time.time()-t0:.1f}s/chunk)",
                   flush=True)
