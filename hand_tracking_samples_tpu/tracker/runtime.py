@@ -306,6 +306,13 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
     contacts_fn = (lambda s: contact_rows(s, model, params)) \
         if config.physics_use_collision else None
 
+    # takesubsample(vpts) (handtrack.h:679): stride-4 of valid, compacted to
+    # the exact maximum so correspondence runs on a quarter of the slots.
+    # Loop-invariant (poses don't change the cloud) — computed once.
+    vsub = point_mask & ((jnp.cumsum(point_mask) - 1) % 4 == 0)
+    mpts_all, mmask_all = compact_points(points, vsub,
+                                         max(points.shape[0] // 4, 512))
+
     for s in range(config.steps):
         angulars = []
         ang_blocks = []
@@ -347,16 +354,8 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
                     concat_linear(*linears), body.pose.shape[0], 4))
                 linears = []
         has_cloud = config.steps_cloudstart <= s and not config.angles_only
-        mpts = jnp.zeros((0, 3), jnp.float32)
-        mmask = jnp.zeros((0,), bool)
         if has_cloud:
-            # takesubsample(vpts) again (handtrack.h:679): stride-4 of valid,
-            # compacted to the exact maximum so correspondence runs on a
-            # quarter of the slots (loses nothing)
-            from ..imaging.image_ops import compact_points
-            vsub = point_mask & ((jnp.cumsum(point_mask) - 1) % 4 == 0)
-            mpts, mmask = compact_points(
-                points, vsub, max(points.shape[0] // 4, 512))
+            mpts, mmask = mpts_all, mmask_all
             if kernel and config.use_pallas:
                 from ..ops.cloud_rows import cloud_rows_packed
                 scale_b = cloudforce * jnp.where(
