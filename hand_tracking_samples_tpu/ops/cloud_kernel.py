@@ -45,7 +45,10 @@ def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
                 precision=jax.lax.Precision.DEFAULT)       # inclusive
 
         def row_cumsum_excl(col):
-            # col (Rp, 1) f32 -> exclusive cumsum over rows via log rolls
+            # col (Rp, 1) f32 -> exclusive cumsum over rows via log rolls.
+            # (A strictly-lower-triangular MXU matmul was measured SLOWER:
+            # building the (Rp, Rp) tri + an M=Rp, N=1 HIGHEST dot costs
+            # more than the ~log2(Rp) roll passes it saves.)
             cum = jnp.broadcast_to(col, (Rp, 128))
             k = 1
             while k < Rp:
@@ -66,10 +69,13 @@ def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
         # slot -> row: le2[r, s] = kbase[r] <= s (row-major, no transposes);
         # the winner is the last such row, i.e. le2[r] & ~le2[r+1].  Mosaic
         # cannot rotate i1 vectors, so shift kbase (f32) instead of le2.
-        iota_s = jax.lax.broadcasted_iota(jnp.int32, (Rp, S), 1).astype(jnp.float32)
+        # Compares run in int32 (counts are exact ints) to skip the f32
+        # cast of the big (Rp, S) iota.
+        kbase_i = kbase.astype(jnp.int32)                  # (Rp, 1)
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (Rp, S), 1)
         iota_rs = jax.lax.broadcasted_iota(jnp.int32, (Rp, S), 0)
-        le2 = (kbase <= iota_s) & (iota_rs < R)            # (Rp, S)
-        kb_next = pltpu.roll(jnp.broadcast_to(kbase, (Rp, 128)),
+        le2 = (kbase_i <= iota_s) & (iota_rs < R)          # (Rp, S)
+        kb_next = pltpu.roll(jnp.broadcast_to(kbase_i, (Rp, 128)),
                              Rp - 1, axis=0)[:, 0:1]       # kbase[r+1]
         nxt = (kb_next <= iota_s) & (iota_rs < R - 1)
         oh2 = (le2 & ~nxt).astype(jnp.bfloat16)            # one-hot row per s

@@ -38,25 +38,18 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
         N = pts.shape[1]
         p3 = pts[0:3]
         mask = pts[4:5]                                   # (1, N) 0/1
-        dots_all = jnp.dot(planes_ref[:], pts,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)  # (B*P, N)
+        # plane dots as 3 broadcast FMAs + offset: a K=8 dot at HIGHEST pays
+        # ~6 full MXU passes over the (B*P, N) output; the elementwise form
+        # is 4 VPU passes and exact f32 (pts[3] == 1.0 rides the d term)
+        pw_all = planes_ref[:]                            # (B*P, 8)
+        dots_all = (pw_all[:, 0:1] * p3[0:1] + pw_all[:, 1:2] * p3[1:2]
+                    + pw_all[:, 2:3] * p3[2:3] + pw_all[:, 3:4])
 
-        # hull most-above candidates (value + normal) per body
-        hvals, hnx, hny, hnz = [], [], [], []
-        for b in range(B):
-            dots = dots_all[b * P:(b + 1) * P]            # (P, N)
-            hmax = jnp.max(dots, axis=0, keepdims=True)   # (1, N)
-            ohm = (dots == hmax).astype(jnp.float32)
-            cnt = jnp.maximum(jnp.sum(ohm, axis=0, keepdims=True), 1.0)
-            pw = planes_ref[b * P:(b + 1) * P]            # (P, 8)
-            nx = jnp.sum(ohm * pw[:, 0:1], axis=0, keepdims=True) / cnt
-            ny = jnp.sum(ohm * pw[:, 1:2], axis=0, keepdims=True) / cnt
-            nz = jnp.sum(ohm * pw[:, 2:3], axis=0, keepdims=True) / cnt
-            hvals.append(hmax)
-            hnx.append(nx)
-            hny.append(ny)
-            hnz.append(nz)
+        # hull most-above candidate VALUES per body; the winner's normal is
+        # extracted after the scan (winner-only — the old per-body normal
+        # extraction paid 5 (P, N) passes for all B bodies)
+        hvals = [jnp.max(dots_all[b * P:(b + 1) * P], axis=0, keepdims=True)
+                 for b in range(B)]
 
         body = body_ref[:]                                # (BP, 8)
         ox = misc_ref[0, 0]
@@ -64,7 +57,11 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
         oz = misc_ref[0, 2]
 
         # winner scan, reference order: all sphere candidates then all hull
-        # candidates, strict < (physmodel.h:141-150 then :127-135)
+        # candidates, strict < (physmodel.h:141-150 then :127-135).  Sphere
+        # normals are selected in-scan (cheap (1, N) ops); hull candidates
+        # carry value/body only — if a hull candidate wins, best < the
+        # winner body's own sphere value (strict <, spheres scanned first),
+        # which is the use_hull test below.
         best = jnp.full((1, N), FLT_MAX, jnp.float32)
         wb = jnp.zeros((1, N), jnp.float32)
         wnx = jnp.zeros((1, N), jnp.float32)
@@ -74,30 +71,38 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
         wpy = jnp.zeros((1, N), jnp.float32)
         wpz = jnp.zeros((1, N), jnp.float32)
         wsc = jnp.zeros((1, N), jnp.float32)
+        wsv = jnp.full((1, N), FLT_MAX, jnp.float32)      # winner sphere val
 
-        def consider(val, b, nx, ny, nz, state):
-            best, wb, wnx, wny, wnz, wpx, wpy, wpz, wsc = state
+        def consider(val, b, sphere, state):
+            best, wb, wnx, wny, wnz, wpx, wpy, wpz, wsc, wsv = state
             take = val < best
             sel = lambda a, v: jnp.where(take, v, a)
+            if sphere is not None:
+                nx, ny, nz, sval = sphere
+                wnx, wny, wnz = sel(wnx, nx), sel(wny, ny), sel(wnz, nz)
+                wsv = sel(wsv, sval)
+            else:
+                wsv = sel(wsv, sph_val[b])
             return (sel(best, val), sel(wb, jnp.float32(b)),
-                    sel(wnx, nx), sel(wny, ny), sel(wnz, nz),
+                    wnx, wny, wnz,
                     sel(wpx, body[b, 0]), sel(wpy, body[b, 1]),
-                    sel(wpz, body[b, 2]), sel(wsc, body[b, 4]))
+                    sel(wpz, body[b, 2]), sel(wsc, body[b, 4]), wsv)
 
-        state = (best, wb, wnx, wny, wnz, wpx, wpy, wpz, wsc)
-        sph_n = []
+        state = (best, wb, wnx, wny, wnz, wpx, wpy, wpz, wsc, wsv)
+        sph_val = []
         for b in range(B):
             dx = p3[0:1] - body[b, 0]
             dy = p3[1:2] - body[b, 1]
             dz = p3[2:3] - body[b, 2]
             dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
             inv = 1.0 / jnp.maximum(dist, 1e-20)
-            sph_n.append((dx * inv, dy * inv, dz * inv))
             val = dist - body[b, 3]
-            state = consider(val, b, *sph_n[b], state)
+            sph_val.append(val)
+            state = consider(val, b, (dx * inv, dy * inv, dz * inv, val),
+                             state)
         for b in range(B):
-            state = consider(hvals[b], b, hnx[b], hny[b], hnz[b], state)
-        best, wb, wnx, wny, wnz, wpx, wpy, wpz, wsc = state
+            state = consider(hvals[b], b, None, state)
+        best, wb, wnx, wny, wnz, wpx, wpy, wpz, wsc, wsv = state
 
         if vals_only:
             # FitError's correspondence: winner (value, body) per point only
@@ -105,14 +110,36 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
                 [best, wb, mask, jnp.zeros((13, N), jnp.float32)], axis=0)
             return
 
-        if directed:
-            # winner body's plane dots + ray-origin dots, then one slab pass
-            dw = jnp.zeros((P, N), jnp.float32)
-            dw0 = jnp.zeros((P, N), jnp.float32)
-            for b in range(B):
-                cond = wb == b
-                dw = jnp.where(cond, dots_all[b * P:(b + 1) * P], dw)
+        # winner body's plane block (dots / offsets / normals), one pass
+        dw = jnp.zeros((P, N), jnp.float32)
+        dw0 = jnp.zeros((P, N), jnp.float32)
+        pnx = jnp.zeros((P, N), jnp.float32)
+        pny = jnp.zeros((P, N), jnp.float32)
+        pnz = jnp.zeros((P, N), jnp.float32)
+        for b in range(B):
+            cond = wb == b
+            dw = jnp.where(cond, dots_all[b * P:(b + 1) * P], dw)
+            pnx = jnp.where(cond, pw_all[b * P:(b + 1) * P, 0:1], pnx)
+            pny = jnp.where(cond, pw_all[b * P:(b + 1) * P, 1:2], pny)
+            pnz = jnp.where(cond, pw_all[b * P:(b + 1) * P, 2:3], pnz)
+            if directed:
                 dw0 = jnp.where(cond, d0_ref[b * P:(b + 1) * P, 0:1], dw0)
+
+        # hull-winner normal: mean of the winner body's maximal planes
+        # (same blend-on-ties semantics as the reference's mostabove pick);
+        # only meaningful where the hull candidate won the strict-< scan
+        use_hull = best < wsv
+        ohm = (dw == best).astype(jnp.float32)            # (P, N)
+        cnt = jnp.maximum(jnp.sum(ohm, axis=0, keepdims=True), 1.0)
+        hx = jnp.sum(ohm * pnx, axis=0, keepdims=True) / cnt
+        hy = jnp.sum(ohm * pny, axis=0, keepdims=True) / cnt
+        hz = jnp.sum(ohm * pnz, axis=0, keepdims=True) / cnt
+        wnx = jnp.where(use_hull, hx, wnx)
+        wny = jnp.where(use_hull, hy, wny)
+        wnz = jnp.where(use_hull, hz, wnz)
+
+        if directed:
+            # slab clip of the camera ray against the winner's hull
             miss = jnp.max(jnp.where((dw0 >= 0) & (dw >= 0), 1.0, 0.0),
                            axis=0, keepdims=True)
             denom = dw0 - dw
@@ -174,19 +201,28 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
         counts_ref[:] = jnp.broadcast_to(
             cum[:, N - 1:N], counts_ref.shape)
         rank = jnp.sum(oh * (cum - 1.0), axis=0, keepdims=True)  # (1, N)
-        code = jnp.where(active & (rank < C),
-                         wb * C + rank, jnp.float32(-1.0)).astype(jnp.int32)
 
         zeros = jnp.zeros((7, N), jnp.float32)
         vals = jnp.concatenate(
             [nxf, nyf, nzf, r1x, r1y, r1z, td, wsc,
              active.astype(jnp.float32), zeros], axis=0)  # (16, N)
-        codeT = jnp.transpose(code, (1, 0))               # (N, 1)
-        ohp = (jax.lax.broadcasted_iota(jnp.int32, (N, BP * C), 1)
-               == codeT).astype(jnp.float32)
-        packed_ref[:] = jnp.dot(vals, ohp,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
+        # factorized scatter: code = wb*C + rank splits into the body mask
+        # (oh, already built) x the shared rank one-hot, so the pack runs as
+        # B small (16, N)x(N, C) contractions instead of one (N, BP*C)
+        # one-hot build + matmul (~3x fewer VPU passes at C=128).  Each
+        # (body, slot) output receives at most one point (ranks are unique
+        # per body), so the sums are exact.
+        rankT = jnp.transpose(rank, (1, 0))               # (N, 1)
+        iota_c = jax.lax.broadcasted_iota(
+            jnp.int32, (N, C), 1).astype(jnp.float32)
+        ohr = ((iota_c == rankT) & (rankT < C)).astype(jnp.float32)
+        for b in range(B):
+            valsb = vals * oh[b:b + 1]                    # (16, N)
+            packed_ref[:, b * C:(b + 1) * C] = jnp.dot(
+                valsb, ohr, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        if B < BP:
+            packed_ref[:, B * C:] = jnp.zeros((16, (BP - B) * C), jnp.float32)
 
     return kernel
 

@@ -45,7 +45,6 @@ class TrackerConfig:
 
     # --- TPU-framework additions (not in the reference) ---
     point_budget: int = 1024        # static cloud-point slots per frame
-    multistep_point_budget: int = 256  # after the extra /4 subsample
     cnn_every_frame: bool = True    # reference: background thread, less often
     cnn_every_k: int = 1            # CNN cadence under track_sequences: run
     # the CNN+refit on one frame in k, cheap cloud fits in between — the

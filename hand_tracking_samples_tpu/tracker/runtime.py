@@ -307,11 +307,14 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
         if config.physics_use_collision else None
 
     # takesubsample(vpts) (handtrack.h:679): stride-4 of valid, compacted to
-    # the exact maximum so correspondence runs on a quarter of the slots.
-    # Loop-invariant (poses don't change the cloud) — computed once.
+    # the exact maximum (ceil(budget/4), lane-aligned) so correspondence runs
+    # on a quarter of the slots — the subsample of a full budget cloud never
+    # exceeds this, so nothing is dropped.  Loop-invariant (poses don't
+    # change the cloud) — computed once.
     vsub = point_mask & ((jnp.cumsum(point_mask) - 1) % 4 == 0)
-    mpts_all, mmask_all = compact_points(points, vsub,
-                                         max(points.shape[0] // 4, 512))
+    q = -(-points.shape[0] // 4)                  # ceil(budget / 4)
+    msub_budget = max(-(-q // 128) * 128, 128)    # lane-aligned
+    mpts_all, mmask_all = compact_points(points, vsub, msub_budget)
 
     for s in range(config.steps):
         angulars = []

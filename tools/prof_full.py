@@ -135,30 +135,20 @@ def main():
 
     if on("cnn"):
         from hand_tracking_samples_tpu.cnn.model import forward
+        from hand_tracking_samples_tpu.segment.handsegment import (
+            cnn_input_from_segment, hand_segment_vr)
 
         def cnn_only(states, depth):
-            x = (depth[:, ::4, 64:256:3][:, :64, :64]
-                 .astype(jnp.float32) / 1000.0)
+            def seg_of(d):
+                seg = hand_segment_vr(d, cam, 0xF, (0.1, config.drangey),
+                                      config.segment_scale)
+                return cnn_input_from_segment(seg.depth, cam.depth_scale,
+                                              (0.1, config.drangey))
+            x = jax.vmap(seg_of)(depth)
             y = forward(cnn_params, x)
             return states._replace(prev_frame_error=states.prev_frame_error
                                    + y.sum(-1))
-        timeit("cnn", scan_stage(cnn_only), states, depths)
-
-    if on("analyze"):
-        from hand_tracking_samples_tpu.cnn.labels import analyze_cnn_output
-        from hand_tracking_samples_tpu.cnn.model import forward
-
-        def an(states, depth):
-            x = (depth[:, ::4, 64:256:3][:, :64, :64]
-                 .astype(jnp.float32) / 1000.0)
-            y = forward(cnn_params, x)
-
-            def one(s, yy):
-                a = analyze_cnn_output(yy, cam.sub(4))
-                return s._replace(prev_frame_error=s.prev_frame_error
-                                  + a.palmq.sum() + a.crays.sum())
-            return jax.vmap(one)(states, y)
-        timeit("analyze(+cnn)", scan_stage(an), states, depths)
+        timeit("cnn(+seg)", scan_stage(cnn_only), states, depths)
 
     if on("fiterr"):
         from hand_tracking_samples_tpu.fitting.cloud import fit_error
@@ -172,25 +162,41 @@ def main():
             return jax.vmap(one)(states, depth)
         timeit("fiterr(+cloud)", scan_stage(fe), states, depths)
 
-    if on("msim"):
-        from hand_tracking_samples_tpu.cnn.labels import analyze_cnn_output
-        from hand_tracking_samples_tpu.cnn.model import forward
-
+    def msim_with(cfg, name):
         def ms(states, depth):
-            x = (depth[:, ::4, 64:256:3][:, :64, :64]
-                 .astype(jnp.float32) / 1000.0)
-            y = forward(cnn_params, x)
+            def one(s, d):
+                _, a, _, _, vp, vm = rt._cnn_frame_inputs(
+                    cnn_params, d, cam, cfg)
+                cpose = jnp.concatenate([jnp.zeros(3),
+                                         jnp.asarray([0.0, 0, 0, 1])])
+                b = rt.multi_step_sim(s.body, model, a, vp, vm, cpose,
+                                      cfg, params)
+                return s._replace(body=b)
+            return jax.vmap(one)(states, depth)
+        timeit(name, scan_stage(ms), states, depths)
 
-            def one(s, d, yy):
-                a = analyze_cnn_output(yy, cam.sub(4))
-                vp, vm = clouds_of(d)
+    if on("msim_i21"):
+        import dataclasses
+        msim_with(dataclasses.replace(config, physics_iterations=2,
+                                      physics_iterations_post=1),
+                  "msim_i21(+pro)")
+
+    if on("msim_s1"):
+        import dataclasses
+        msim_with(dataclasses.replace(config, steps=1), "msim_s1(+pro)")
+
+    if on("msim"):
+        def ms(states, depth):
+            def one(s, d):
+                _, a, _, _, vp, vm = rt._cnn_frame_inputs(
+                    cnn_params, d, cam, config)
                 cpose = jnp.concatenate([jnp.zeros(3),
                                          jnp.asarray([0.0, 0, 0, 1])])
                 b = rt.multi_step_sim(s.body, model, a, vp, vm, cpose,
                                       config, params)
                 return s._replace(body=b)
-            return jax.vmap(one, in_axes=(0, 0, 0))(states, depth, y)
-        timeit("msim(+cnn)", scan_stage(ms), states, depths)
+            return jax.vmap(one)(states, depth)
+        timeit("msim(+prologue)", scan_stage(ms), states, depths)
 
     if on("contacts"):
         from hand_tracking_samples_tpu.physics.contacts import contact_rows
