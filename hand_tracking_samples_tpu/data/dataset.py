@@ -90,10 +90,29 @@ class Dataset:
     depth: np.ndarray          # (F, H, W) uint16
     pose: np.ndarray           # (F, 17, 7) float32 (zeros if absent)
     ir: np.ndarray | None      # (F, H, W) uint8 or None
+    rgb: np.ndarray | None = None   # (F, RH, RW, 3) uint8 or None
+    feye: np.ndarray | None = None  # (F, FH, FW) uint8 or None
+
+
+def _read_frames(path, frame_bytes, frames, shape, dtype):
+    """Optional parallel stream: per-frame reads, zero-filled where the file
+    runs short (dataset.h:140-146 reads into a zeroed buffer and ignores
+    short reads)."""
+    if not os.path.exists(path) or frame_bytes == 0:
+        return None
+    raw = np.fromfile(path, dtype=np.uint8)
+    have = min(frames, len(raw) // frame_bytes)
+    out = np.zeros((frames, frame_bytes), np.uint8)
+    out[:have] = raw[: have * frame_bytes].reshape(have, frame_bytes)
+    return out.view(dtype).reshape((frames,) + shape)
 
 
 def load_dataset(bname: str, n_bones: int = 17) -> Dataset:
-    """load_dataset (dataset.h:109-163) as one batched read."""
+    """load_dataset (dataset.h:109-163) as one batched read.  Reads all six
+    parallel files: .json/.rs/.ir/.pose plus the optional .rgb (byte3 at
+    rgb_dim) and .feye (byte at feye_dim) streams, and the deprecated
+    interleaved-`hasir` .rs layout (depth u16 then ir u8 per frame,
+    dataset.h:134-138)."""
     if not os.path.exists(bname + ".json"):
         raise FileNotFoundError(
             f"no recording '{bname}': expected {bname}.json/.rs "
@@ -101,9 +120,21 @@ def load_dataset(bname: str, n_bones: int = 17) -> Dataset:
     with open(bname + ".json") as f:
         info = DatasetInfo.from_json_dict(json.load(f))
     w, h = info.dims
-    raw = np.fromfile(bname + ".rs", dtype=np.uint16)
-    frames = len(raw) // (w * h)
-    depth = raw[: frames * w * h].reshape(frames, h, w)
+    if info.hasir:
+        # legacy interleaved layout: each frame is w*h u16 depth followed by
+        # w*h u8 ir in the same .rs file
+        raw = np.fromfile(bname + ".rs", dtype=np.uint8)
+        stride = w * h * 3
+        frames = len(raw) // stride
+        raw = raw[: frames * stride].reshape(frames, stride)
+        depth = (raw[:, : w * h * 2].copy().view(np.uint16)
+                 .reshape(frames, h, w))
+        ir_inter = raw[:, w * h * 2:].reshape(frames, h, w).copy()
+    else:
+        raw = np.fromfile(bname + ".rs", dtype=np.uint16)
+        frames = len(raw) // (w * h)
+        depth = raw[: frames * w * h].reshape(frames, h, w)
+        ir_inter = None
 
     pose = np.zeros((frames, n_bones, 7), np.float32)
     if os.path.exists(bname + ".pose"):
@@ -111,12 +142,17 @@ def load_dataset(bname: str, n_bones: int = 17) -> Dataset:
         vals = vals.reshape(-1, n_bones, 7)[:frames]
         pose[: len(vals)] = vals
 
-    ir = None
-    if os.path.exists(bname + ".ir"):
-        iraw = np.fromfile(bname + ".ir", dtype=np.uint8)
-        if len(iraw) >= frames * w * h:
-            ir = iraw[: frames * w * h].reshape(frames, h, w)
-    return Dataset(info=info, depth=depth, pose=pose, ir=ir)
+    # a parallel .ir file overrides the interleaved ir (dataset.h:139-140)
+    ir = _read_frames(bname + ".ir", w * h, frames, (h, w), np.uint8)
+    if ir is None:
+        ir = ir_inter
+    rw, rh = info.rgb_dim
+    rgb = _read_frames(bname + ".rgb", rw * rh * 3, frames, (rh, rw, 3),
+                       np.uint8)
+    fw, fh = info.feye_dim
+    feye = _read_frames(bname + ".feye", fw * fh, frames, (fh, fw), np.uint8)
+    return Dataset(info=info, depth=depth, pose=pose, ir=ir, rgb=rgb,
+                   feye=feye)
 
 
 class DatasetWriter:
@@ -132,10 +168,26 @@ class DatasetWriter:
         self._depth = open(prefix + ".rs", "wb")
         self._ir = open(prefix + ".ir", "wb")
         self._pose = open(prefix + ".pose", "w")
+        self._rgb = None
+        self._feye = None
+
+    def add_rgb(self) -> "DatasetWriter":
+        """Open the optional colour stream (dataset.h:77 AddRGB)."""
+        self._rgb = open(self.prefix + ".rgb", "wb")
+        return self
+
+    def add_fisheye(self) -> "DatasetWriter":
+        """Open the optional fisheye stream (dataset.h:78 AddFishEye)."""
+        self._feye = open(self.prefix + ".feye", "wb")
+        return self
 
     def save_frame(self, depth: np.ndarray, pose: np.ndarray,
-                   ir: np.ndarray | None = None):
-        """depth (H,W) uint16; pose (17,7); ir (H,W) uint8 optional."""
+                   ir: np.ndarray | None = None,
+                   rgb: np.ndarray | None = None,
+                   fisheye: np.ndarray | None = None):
+        """depth (H,W) uint16; pose (17,7); ir (H,W) uint8, rgb (RH,RW,3)
+        uint8 and fisheye (FH,FW) uint8 optional (written only when their
+        streams were opened, dataset.h:98-103)."""
         np.asarray(depth, np.uint16).tofile(self._depth)
         if ir is None:
             ir = np.zeros(depth.shape, np.uint8)
@@ -145,15 +197,25 @@ class DatasetWriter:
             parts.append(" ".join(f"{v:g}" for v in p[:3]) + "  "
                          + " ".join(f"{v:g}" for v in p[3:]))
         self._pose.write("   ".join(parts) + "\n")
+        if self._rgb is not None and rgb is not None:
+            np.asarray(rgb, np.uint8).tofile(self._rgb)
+        if self._feye is not None and fisheye is not None:
+            np.asarray(fisheye, np.uint8).tofile(self._feye)
 
-    def save_frames(self, depth, pose, ir=None):
+    def save_frames(self, depth, pose, ir=None, rgb=None, fisheye=None):
         for f in range(len(depth)):
-            self.save_frame(depth[f], pose[f], None if ir is None else ir[f])
+            self.save_frame(depth[f], pose[f],
+                            None if ir is None else ir[f],
+                            None if rgb is None else rgb[f],
+                            None if fisheye is None else fisheye[f])
 
     def close(self):
         self._depth.close()
         self._ir.close()
         self._pose.close()
+        for f in (self._rgb, self._feye):
+            if f is not None:
+                f.close()
 
     def __enter__(self):
         return self

@@ -75,3 +75,44 @@ def test_animbank_loader():
     # quaternions are normalised poses
     qn = np.linalg.norm(bank[0, :, 3:], axis=-1)
     np.testing.assert_allclose(qn, 1.0, atol=1e-3)
+
+
+def test_six_stream_interop(tmp_path):
+    """All six parallel files (.json/.rs/.ir/.pose/.rgb/.feye) plus the
+    interleaved-`hasir` legacy layout roundtrip, gated against fixtures
+    produced by loading the SAME (byte-reproducible) recordings through the
+    reference's dataset.h (dataset.h:109-163; see tests/dataset_fixture.py)."""
+    from dataset_fixture import write_fixture_recordings
+
+    mix, legacy, (depth, ir, pose, rgb, feye) = write_fixture_recordings(
+        str(tmp_path))
+
+    ds = load_dataset(mix)
+    np.testing.assert_array_equal(ds.depth, depth)
+    np.testing.assert_array_equal(ds.ir, ir)
+    np.testing.assert_allclose(ds.pose, pose, atol=1e-5)
+    np.testing.assert_array_equal(ds.rgb, rgb)
+    np.testing.assert_array_equal(ds.feye, feye)
+
+    dl = load_dataset(legacy)
+    np.testing.assert_array_equal(dl.depth, depth)
+    np.testing.assert_array_equal(dl.ir, ir)
+    assert dl.rgb is None and dl.feye is None
+
+    # the reference's own reads of these exact bytes (GG_DATASET=1 golden)
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    for name, d in (("dataset_ref_mix.json", ds),
+                    ("dataset_ref_legacy.json", dl)):
+        ref = json.load(open(os.path.join(fixdir, name)))
+        assert ref["n_frames"] == len(d.depth)
+        np.testing.assert_array_equal(
+            ref["depth_sum"], d.depth.astype(np.int64).sum(axis=(1, 2)))
+        np.testing.assert_array_equal(
+            ref["ir_sum"], d.ir.astype(np.int64).sum(axis=(1, 2)))
+        rgb_sum = (d.rgb.astype(np.int64).sum(axis=(1, 2, 3))
+                   if d.rgb is not None else np.zeros(len(d.depth), np.int64))
+        np.testing.assert_array_equal(ref["rgb_sum"], rgb_sum)
+        feye_sum = (d.feye.astype(np.int64).sum(axis=(1, 2))
+                    if d.feye is not None else np.zeros(len(d.depth), np.int64))
+        np.testing.assert_array_equal(ref["feye_sum"], feye_sum)
+        np.testing.assert_allclose(ref["pose1_x"], d.pose[:, 1, 0], atol=1e-5)
