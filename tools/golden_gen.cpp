@@ -10,9 +10,11 @@
 //          reinterpret_cast, which is UB under g++ strict aliasing)
 // Run:    ./golden_gen <model_hand.json> <animbank.pose> <outdir>
 
+#include <algorithm>
 #include <cstdio>
 #include <cstring>
 #include <fstream>
+#include <map>
 #include <random>
 #include <sstream>
 
@@ -107,6 +109,140 @@ int main(int argc, char **argv) {
     const char *anim_path = argc > 2 ? argv[2] : "/root/reference/assets/animbank.pose";
     std::string outdir = argc > 3 ? argv[3] : ".";
     (void)anim_path;
+
+    // ---- dataset-format interop golden (GG_DATASET=1, argv[5] = basename):
+    // load a recording through the reference's own dataset.h (all six
+    // parallel files incl. .rgb/.feye and the interleaved-`hasir` legacy
+    // layout, dataset.h:109-163) and dump per-frame checksums ----
+    if (getenv("GG_DATASET") && argc > 5) {
+        auto frames = load_dataset(argv[5], 17, [](Frame &) {});
+        std::ostringstream o;
+        o << "{\n\"n_frames\": " << frames.size();
+        auto sums = [&](const char *k, auto get) {
+            o << ",\n\"" << k << "\": [";
+            for (size_t i = 0; i < frames.size(); i++)
+                o << (i ? "," : "") << get(frames[i]);
+            o << "]";
+        };
+        sums("depth_sum", [](Frame &f) {
+            unsigned long long s = 0;
+            for (auto v : f.depth.raster) s += v;
+            return s; });
+        sums("ir_sum", [](Frame &f) {
+            unsigned long long s = 0;
+            for (auto v : f.ir.raster) s += v;
+            return s; });
+        sums("rgb_sum", [](Frame &f) {
+            unsigned long long s = 0;
+            for (auto v : f.rgb.raster) s += (unsigned long long)v.x + v.y + v.z;
+            return s; });
+        sums("feye_sum", [](Frame &f) {
+            unsigned long long s = 0;
+            for (auto v : f.fisheye.raster) s += v;
+            return s; });
+        sums("pose1_x", [](Frame &f) { return f.pose[1].position.x; });
+        o << "\n}\n";
+        std::ofstream f(outdir + "/dataset_ref.json");
+        f << o.str();
+        printf("wrote %s/dataset_ref.json\n", outdir.c_str());
+        return 0;
+    }
+
+    // ---- contact parity SWEEP golden (GG_CONTACT_SWEEP=1): the top-N
+    // self-contact-rich animbank frames; per frame the reference's GJK
+    // contact rows (pair set + per-pair deepest separation,
+    // gjk.h:608-643 via physics.h:451-489) and the pose after a 3-step
+    // joint+contact solve ----
+    if (getenv("GG_CONTACT_SWEEP")) {
+        std::ifstream ab(anim_path);
+        std::vector<std::vector<Pose>> bank;
+        std::string line;
+        while (std::getline(ab, line) && line != "") {
+            std::vector<Pose> pose(17);
+            std::stringstream ls(line);
+            for (auto &p : pose) ls >> p;
+            bank.push_back(pose);
+        }
+        PhysModel m = LoadHandModel();
+        for (auto &rb : m.rigidbodies) if (&rb != &m.rigidbodies[2]) {
+            m.rigidbodies[2].ignore.push_back(&rb);
+            rb.ignore.push_back(&m.rigidbodies[2]);
+        }
+        physics_gravity = {0, 0, 0};
+        physics_driftmax = 0.03f / 8.0f;
+        physics_use_collision = 1;
+        // rank frames by contact-row count (stride 10), take the top 20
+        // distinct-by-50-frames ones
+        std::vector<std::pair<int, int>> counts;  // (-n, frame)
+        for (int f = 0; f + 1 < (int)bank.size(); f += 10) {
+            m.SetPose(bank[f]);
+            auto rows = CollisionConstraints(Addresses(m.rigidbodies), {});
+            counts.push_back({-(int)rows.size(), f});
+        }
+        std::sort(counts.begin(), counts.end());
+        std::vector<int> picked;
+        for (auto &c : counts) {
+            bool far_enough = true;
+            for (int p : picked) if (abs(p - c.second) < 50) far_enough = false;
+            if (far_enough) picked.push_back(c.second);
+            if (picked.size() == 20) break;
+        }
+        std::sort(picked.begin(), picked.end());
+        std::ostringstream o;
+        o << "{\n\"frames\": [\n";
+        for (size_t k = 0; k < picked.size(); k++) {
+            int f = picked[k];
+            m.SetPose(bank[f]);
+            for (auto &rb : m.rigidbodies) {
+                rb.linear_momentum = {0, 0, 0};
+                rb.angular_momentum = {0, 0, 0};
+            }
+            auto rbs = Addresses(m.rigidbodies);
+            auto rows = CollisionConstraints(rbs, {});
+            // deepest separation (= targetdist of the first/master row) per
+            // colliding pair, keyed b0*17+b1
+            std::map<int, float> deepest;
+            std::map<int, int> nrows;
+            for (auto &c : rows) {
+                int kk = IndexOf(rbs, c.rb0) * 17 + IndexOf(rbs, c.rb1);
+                // deepest over the normal rows only (fb/ft friction rows
+                // carry targetdist 0, physics.h:484-486)
+                if (c.friction_master == 0
+                    && (!deepest.count(kk) || c.targetdist < deepest[kk]))
+                    deepest[kk] = c.targetdist;
+                nrows[kk]++;
+            }
+            o << (k ? ",\n" : "") << "{\"frame\": " << f << ", \"pairs\": [";
+            bool first = true;
+            for (auto &d : deepest) {
+                o << (first ? "" : ",") << "[" << d.first / 17 << ","
+                  << d.first % 17 << "," << d.second << "," << nrows[d.first]
+                  << "]";
+                first = false;
+            }
+            o << "], \"pose3\": [";
+            for (int it = 0; it < 3; it++) {
+                auto lin = m.GetLinearConstraints();
+                auto ang = m.GetAngularConstraints();
+                PhysicsUpdate(Addresses(m.rigidbodies), lin, ang, {});
+            }
+            auto poses = m.GetPose();
+            for (size_t b = 0; b < poses.size(); b++) {
+                auto &p = poses[b];
+                o << (b ? "," : "") << "[" << p.position.x << "," << p.position.y
+                  << "," << p.position.z << "," << p.orientation.x << ","
+                  << p.orientation.y << "," << p.orientation.z << ","
+                  << p.orientation.w << "]";
+            }
+            o << "]}";
+            fprintf(stderr, "sweep frame %d: %zu pairs\n", f, deepest.size());
+        }
+        o << "\n]}\n";
+        std::ofstream f(outdir + "/contact_sweep_ref.json");
+        f << o.str();
+        printf("wrote %s/contact_sweep_ref.json\n", outdir.c_str());
+        return 0;
+    }
 
     g_out << "{";
 
