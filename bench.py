@@ -230,10 +230,27 @@ def main():
         f"# tracks={N_TRACKS} frames={N_FRAMES} warmup={compile_and_run:.1f}s "
         f"run={dt:.3f}s (reps {', '.join(f'{r:.3f}' for r in reps)}) "
         f"mean_joint_err={err*1000:.2f}mm devices={jax.devices()}\n"
-        f"# (mean_joint_err is drift-vs-ground-truth of the geometric-only fit\n"
-        f"#  after {N_FRAMES} frames on fast animbank segments; the reference\n"
-        f"#  drifts identically — trajectory parity vs the C++ reference is\n"
-        f"#  <=1mm in the stable regime, asserted in tests/test_tracker_e2e.py)\n")
+        f"# (mean_joint_err is drift-vs-ground-truth of the geometric-only\n"
+        f"#  fit after {N_FRAMES} frames on fast animbank segments; <=1mm\n"
+        f"#  trajectory parity in the stable regime is asserted in\n"
+        f"#  tests/test_tracker_e2e.py)\n")
+    # measured reference comparison on the same protocol: the C++ tracker's
+    # drift over the first 64 start offsets (tests/fixtures/fastdrift_ref.json,
+    # golden_gen GG_FASTDRIFT — replaces the old asserted-not-measured
+    # "reference drifts identically" note)
+    fdp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "tests", "fixtures", "fastdrift_ref.json")
+    if N_TRACKS >= 64 and os.path.exists(fdp):
+        fd = json.load(open(fdp))
+        if N_FRAMES == fd["n_frames"]:
+            e64 = float(jnp.linalg.norm(
+                out_states.body.pose[:64, :, :3] - poses[-1][:64, :, :3],
+                axis=-1).mean())
+            ref64 = fd["mean_err_per_frame"][-1]
+            sys.stderr.write(
+                f"# fast-segment drift, first 64 tracks: ours "
+                f"{e64*1000:.2f}mm vs C++ reference {ref64*1000:.2f}mm "
+                f"(measured, identical protocol)\n")
 
     print(json.dumps({
         "metric": ("synthetic_full_pipeline_tracked_fps_per_chip" if full

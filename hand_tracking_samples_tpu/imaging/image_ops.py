@@ -306,9 +306,17 @@ def cloud_from_depth(depth, cam: DCamera, range_lo, range_hi, frac: int,
     krow = k_in[:, -1]
     kbase = jnp.cumsum(krow) - krow                           # kept before row
     total = kbase[-1] + krow[-1]
+    # slot -> kept-point index: identity while everything fits; when the kept
+    # count exceeds the budget, sample the kept sequence uniformly instead of
+    # truncating its tail (a raster-order tail drop cuts the bottom of the
+    # hand; the reference keeps all points, physmodel.h:163-181, so the
+    # unbiased subset tracks its fit far better).  int32: s*K < 2^31, exact.
+    si = jnp.arange(budget, dtype=jnp.int32)
+    Ki = total.astype(jnp.int32)
+    t_i = jnp.where(Ki > budget, (si * Ki) // budget, si)
+    s = t_i.astype(jnp.float32)
     # slot -> (row, lane): broadcast-compare reductions (XLA fuses these; a
     # searchsorted lowers to a while-loop of gathers and is ~50x slower)
-    s = jnp.arange(budget, dtype=jnp.float32)
     le = kbase[None, :] <= s[:, None]                         # (S, R) fused
     row = jnp.sum(le.astype(jnp.int32), axis=1) - 1
     # one-hot of `row` (le is monotone in r: last true column wins); the two

@@ -66,18 +66,25 @@ def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
         kbase = row_cumsum_excl(krow)                      # (Rp, 1)
         total = jnp.max(kbase + krow)
 
-        # slot -> row: le2[r, s] = kbase[r] <= s (row-major, no transposes);
-        # the winner is the last such row, i.e. le2[r] & ~le2[r+1].  Mosaic
-        # cannot rotate i1 vectors, so shift kbase (f32) instead of le2.
-        # Compares run in int32 (counts are exact ints) to skip the f32
-        # cast of the big (Rp, S) iota.
+        # slot -> kept-point index: identity while everything fits; when the
+        # kept count exceeds the budget, sample the kept sequence uniformly
+        # instead of truncating its tail (matches image_ops.cloud_from_depth
+        # bit-for-bit; s*K < 2^31 so int32 is exact)
+        Ki = total.astype(jnp.int32)
+        iota_s1 = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        t_s = jnp.where(Ki > S, (iota_s1 * Ki) // S, iota_s1)  # (1, S)
+
+        # slot -> row: le2[r, s] = kbase[r] <= t(s) (row-major, no
+        # transposes); the winner is the last such row, i.e.
+        # le2[r] & ~le2[r+1].  Mosaic cannot rotate i1 vectors, so shift
+        # kbase (f32) instead of le2.  Compares run in int32 (counts are
+        # exact ints) to skip the f32 cast of the big (Rp, S) iota.
         kbase_i = kbase.astype(jnp.int32)                  # (Rp, 1)
-        iota_s = jax.lax.broadcasted_iota(jnp.int32, (Rp, S), 1)
         iota_rs = jax.lax.broadcasted_iota(jnp.int32, (Rp, S), 0)
-        le2 = (kbase_i <= iota_s) & (iota_rs < R)          # (Rp, S)
+        le2 = (kbase_i <= t_s) & (iota_rs < R)             # (Rp, S)
         kb_next = pltpu.roll(jnp.broadcast_to(kbase_i, (Rp, 128)),
                              Rp - 1, axis=0)[:, 0:1]       # kbase[r+1]
-        nxt = (kb_next <= iota_s) & (iota_rs < R - 1)
+        nxt = (kb_next <= t_s) & (iota_rs < R - 1)
         oh2 = (le2 & ~nxt).astype(jnp.bfloat16)            # one-hot row per s
 
         def pick_rows(m):
@@ -110,7 +117,9 @@ def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
         kbase_s = picked[:, 0:1] * 256.0 + picked[:, 1:2]  # (S, 1)
         row_s = picked[:, 2:3] * 256.0 + picked[:, 3:4]    # (S, 1)
 
-        iota_ss = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).astype(jnp.float32)
+        iota_sc = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        iota_ss = jnp.where(Ki > S, (iota_sc * Ki) // S,
+                            iota_sc).astype(jnp.float32)   # t(s), (S, 1)
         j = iota_ss - kbase_s                              # (S, 1)
         lane = jnp.sum((k_rows <= j).astype(jnp.float32), axis=1,
                        keepdims=True)                      # (S, 1)

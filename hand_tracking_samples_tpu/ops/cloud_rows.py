@@ -201,21 +201,40 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
         counts_ref[:] = jnp.broadcast_to(
             cum[:, N - 1:N], counts_ref.shape)
         rank = jnp.sum(oh * (cum - 1.0), axis=0, keepdims=True)  # (1, N)
+        cnt = jnp.sum(oh * cum[:, N - 1:N], axis=0, keepdims=True)  # (1, N)
+
+        # over-cap bodies keep a UNIFORM subset: rank r -> slot (r*C)//cnt,
+        # first occurrence wins (matches pack_single_body_linear; the f32
+        # floors are exact — r*C < 2^24 and the true quotient is >= 1/cnt
+        # from any integer, far beyond an ulp).  Tail truncation biased the
+        # fit by cutting the raster-order bottom of each body's points.
+        thin = cnt > C
+        safe = jnp.maximum(cnt, 1.0)
+        nr = jnp.where(thin, jnp.floor(rank * C / safe), rank)
+        prev = jnp.floor((rank - 1.0) * C / safe)
+        keep = (~thin) | (rank == 0) | (nr > prev)        # (1, N)
+        # thinned bodies keep their TOTAL force budget (force-limit scale
+        # count/slots per surviving row — same form as
+        # pack_single_body_linear for bit-identity)
+        comp = jnp.where(thin, cnt * (1.0 / C), 1.0)
+        wsc = wsc * comp
 
         zeros = jnp.zeros((7, N), jnp.float32)
         vals = jnp.concatenate(
             [nxf, nyf, nzf, r1x, r1y, r1z, td, wsc,
              active.astype(jnp.float32), zeros], axis=0)  # (16, N)
-        # factorized scatter: code = wb*C + rank splits into the body mask
-        # (oh, already built) x the shared rank one-hot, so the pack runs as
+        # factorized scatter: code = wb*C + slot splits into the body mask
+        # (oh, thin-filtered) x the shared slot one-hot, so the pack runs as
         # B small (16, N)x(N, C) contractions instead of one (N, BP*C)
         # one-hot build + matmul (~3x fewer VPU passes at C=128).  Each
-        # (body, slot) output receives at most one point (ranks are unique
-        # per body), so the sums are exact.
-        rankT = jnp.transpose(rank, (1, 0))               # (N, 1)
+        # (body, slot) output receives at most one point (kept slots are
+        # unique per body), so the sums are exact.
+        rankT = jnp.transpose(nr, (1, 0))                 # (N, 1)
+        keepT = jnp.transpose(keep.astype(jnp.float32), (1, 0))  # (N, 1)
         iota_c = jax.lax.broadcasted_iota(
             jnp.int32, (N, C), 1).astype(jnp.float32)
-        ohr = ((iota_c == rankT) & (rankT < C)).astype(jnp.float32)
+        ohr = (((iota_c == rankT) & (rankT < C)).astype(jnp.float32)
+               * keepT)
         for b in range(B):
             valsb = vals * oh[b:b + 1]                    # (16, N)
             packed_ref[:, b * C:(b + 1) * C] = jnp.dot(

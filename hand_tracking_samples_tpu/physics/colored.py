@@ -111,15 +111,33 @@ class StaticPairAngular(NamedTuple):
 
 def pack_single_body_linear(rows: LinearRows, n_bodies: int,
                             slots: int) -> SingleBodyLinear:
-    """Slot dynamic single-body rows by (rank within body, body).  Rows past
-    the per-body slot budget are dropped (config: cloud_rows_per_body)."""
+    """Slot dynamic single-body rows by (rank within body, body).  Bodies
+    with more rows than the per-body slot budget (config: cloud_rows_per_body)
+    keep a UNIFORM subset — rank r maps to slot (r*slots)//count, first
+    occurrence wins — rather than truncating the raster-order tail (the
+    reference has no cap, physmodel.h:163-181; a tail drop cuts the bottom of
+    the hand and biases the fit).  Same-body slot order stays monotone in row
+    order, so the sequential sweep semantics are preserved."""
     b = jnp.maximum(rows.b1, 0)
     act = rows.active & (rows.b1 >= 0)
     onehot = (b[:, None] == jnp.arange(n_bodies)[None, :]) & act[:, None]
     rank = jnp.cumsum(onehot, axis=0) - 1          # (R, B)
     rank = jnp.sum(jnp.where(onehot, rank, 0), axis=1)
-    ok = act & (rank < slots)
-    c = jnp.where(ok, rank, slots)  # overflow slot dropped via mode="drop"
+    cnt_b = jnp.sum(onehot, axis=0)                # (B,) rows per body
+    cnt = jnp.sum(jnp.where(onehot, cnt_b[None, :], 0), axis=1)  # per row
+    thin = cnt > slots
+    safe = jnp.maximum(cnt, 1)
+    nr = jnp.where(thin, (rank * slots) // safe, rank)
+    prev = jnp.where(thin & (rank > 0), ((rank - 1) * slots) // safe, -1)
+    keep = (~thin) | (rank == 0) | (nr > prev)
+    ok = act & keep & (nr < slots)
+    c = jnp.where(ok, nr, slots)    # overflow slot dropped via mode="drop"
+    # thinned bodies keep their TOTAL force budget: each surviving row's
+    # limits scale by count/slots, so a capped body pulls as hard against
+    # the others as the reference's uncapped row set does in aggregate
+    cntf = cnt.astype(jnp.float32)
+    comp = jnp.where(thin, cntf * (1.0 / slots), 1.0)
+    rows = rows._replace(fmin=rows.fmin * comp, fmax=rows.fmax * comp)
 
     # one scatter for all 11 row scalars (7 scatters of the same indices
     # would each pay the gather/scatter fixed costs)

@@ -37,7 +37,9 @@ def main():
     model = jtu.tree_map(jnp.asarray, load_hand_model(DEFAULT_MODEL_JSON))
     bank = load_animbank(DEFAULT_ANIMBANK)
     cam = synth_camera()
-    config = TrackerConfig(point_budget=1024, cnn_every_frame=True,
+    config = TrackerConfig(point_budget=int(os.environ.get(
+                               "EVAL_POINT_BUDGET", "1024")),
+                           cnn_every_frame=True,
                            solver=SOLVER, use_pallas=SOLVER == "kernel",
                            accum_error_threshold=float(
                                os.environ.get("EVAL_ACCUM", "0.0")),
