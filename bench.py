@@ -39,7 +39,7 @@ N_TRACKS = int(os.environ.get("BENCH_TRACKS", "512"))
 # 32 frames amortizes the axon tunnel's ~28 ms fixed dispatch cost so the
 # metric measures steady-state throughput, not network RTT
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "32"))
-POINT_BUDGET = int(os.environ.get("BENCH_POINT_BUDGET", "1024"))
+POINT_BUDGET = int(os.environ.get("BENCH_POINT_BUDGET", "2048"))
 SOLVER = os.environ.get("BENCH_SOLVER", "kernel")
 CLOUD_ROWS = int(os.environ.get("BENCH_CLOUD_ROWS", "128"))
 

@@ -48,6 +48,17 @@ def main(argv=None):
     ap.add_argument("--inspect", action="store_true",
                     help="print per-frame fit errors (old vs refit) and exit "
                     "without writing")
+    ap.add_argument("--edits", default=None,
+                    help="per-frame edit commands JSON (exported by the HTML "
+                    "report's editor, utils/report.py): the annotation-"
+                    "fixer's interactive loop (annotation-fixer.cpp:219-260) "
+                    "offline.  Schema: {\"edits\": [{\"frame\": F, \"bone\": "
+                    "B, \"nail\": [x,y,z]} | {\"frame\": F, \"hold\": 0|1|2} "
+                    "| {\"frame\": F, \"delete\": true}]}")
+    ap.add_argument("--dump-artifacts", default=None,
+                    help="dir for per-frame overlay PNGs + posed OBJs + bone "
+                    "origins (bones_NNNN.json) + the HTML report with the "
+                    "edit panel")
     args = ap.parse_args(argv)
 
     from ..cnn.model import load_cnnb
@@ -93,10 +104,47 @@ def main(argv=None):
             sub = mask_all & ((jnp.cumsum(mask_all) - 1) % 4 == 0)
             return compact_points(pts_all, sub, config.point_budget)
 
-        sf = jax.jit(lambda s, p, m, ref: slowfit(
-            s, model, p, m, config, params, hold=args.hold, refpose=ref,
-            steps=args.steps))
+        # slowfit variants: hold level and a dragged-bone nail are trace-time
+        # structure (annotation-fixer.cpp:219-260), so jit one fn per variant
+        _sf_cache = {}
+
+        def sf(state, pts, mask, ref, hold=args.hold, nail=None):
+            key = (hold, None if nail is None else int(nail[0]))
+            if key not in _sf_cache:
+                if key[1] is None:
+                    _sf_cache[key] = jax.jit(
+                        lambda s, p, m, r: slowfit(
+                            s, model, p, m, config, params, hold=hold,
+                            refpose=r, steps=args.steps))
+                else:
+                    _sf_cache[key] = jax.jit(
+                        lambda s, p, m, r, sp: slowfit(
+                            s, model, p, m, config, params, hold=hold,
+                            refpose=r, steps=args.steps,
+                            select_bone=key[1], spoint=sp,
+                            rbpoint=jnp.zeros(3, jnp.float32)))
+            if key[1] is None:
+                return _sf_cache[key](state, pts, mask, ref)
+            return _sf_cache[key](state, pts, mask, ref,
+                                  jnp.asarray(nail[1], jnp.float32))
+
         fe = jax.jit(lambda s, p, m, d: fit_error(s.body, model, p, m, d, cam))
+
+        nails, holds, edit_deletes = {}, {}, set()
+        if args.edits:
+            import json as _json
+            for e in _json.load(open(args.edits)).get("edits", []):
+                f = int(e["frame"])
+                if e.get("delete"):
+                    edit_deletes.add(f)
+                if "hold" in e:
+                    holds[f] = int(e["hold"])
+                if "nail" in e:
+                    nails[f] = (int(e["bone"]),
+                                [float(c) for c in e["nail"]])
+            if nails or holds or edit_deletes:
+                print(f"  edits: {len(nails)} nails, {len(holds)} holds, "
+                      f"{len(edit_deletes)} deletes")
 
         out_poses = np.zeros((F, 17, 7), np.float32)
         errors, reverted = [], 0
@@ -110,7 +158,8 @@ def main(argv=None):
             pts, mask = points_of(depth)
             # startpose = the frame's existing annotation (dataset.h:44)
             startpose = ds.pose[f] if has_start else None
-            state = sf(state, pts, mask, refpose)
+            state = sf(state, pts, mask, refpose,
+                       hold=holds.get(f, args.hold), nail=nails.get(f))
             err_new = float(fe(state, pts, mask, depth))
             if (args.revert_worse or args.inspect) and startpose is not None:
                 st_old = state._replace(body=state.body._replace(
@@ -129,8 +178,28 @@ def main(argv=None):
         print(f"{bname}: slowfit {F} frames, mean fit error "
               f"{np.mean(errors):.4f}"
               + (f", reverted {reverted}" if args.revert_worse else ""))
+        if args.dump_artifacts:
+            import json as _json
+            import os
+            os.makedirs(args.dump_artifacts, exist_ok=True)
+            from ..utils.viz import depth_to_rgb, draw_points, write_png
+            for f in range(F):
+                img = depth_to_rgb(np.asarray(ds.depth[f]), cam.depth_scale)
+                px = np.asarray(cam.projectz(
+                    jnp.asarray(out_poses[f, :, :3])))
+                img = draw_points(img, px, size=2)
+                write_png(os.path.join(args.dump_artifacts,
+                                       f"fit_{f:04d}.png"), img)
+                with open(os.path.join(args.dump_artifacts,
+                                       f"bones_{f:04d}.json"), "w") as bf:
+                    _json.dump({"frame": f,
+                                "bones": out_poses[f, :, :3].tolist()}, bf)
+            from ..utils.report import write_html_report
+            print("  report:", write_html_report(args.dump_artifacts))
+
         if args.out and not args.inspect:
             drop = {int(i) for i in args.delete_frames.split(",") if i}
+            drop |= edit_deletes
             keep = [f for f in range(F) if f not in drop]
             with DatasetWriter(args.out, ds.info) as w:
                 w.save_frames(ds.depth[keep], out_poses[keep],

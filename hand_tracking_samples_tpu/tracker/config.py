@@ -44,7 +44,10 @@ class TrackerConfig:
     unibody_force: float = 0.1
 
     # --- TPU-framework additions (not in the reference) ---
-    point_budget: int = 1024        # static cloud-point slots per frame
+    point_budget: int = 2048        # static cloud-point slots per frame;
+    # 2048 holds every subsampled point on all animbank views (reference
+    # parity: cold-start 7.5mm vs ref 8.2mm, fast-segment drift 1.03x);
+    # 1024 trades ~1.4x drift for ~1.45x dynamics fps (docs/PERFORMANCE.md)
     cnn_every_frame: bool = True    # reference: background thread, less often
     cnn_every_k: int = 1            # CNN cadence under track_sequences: run
     # the CNN+refit on one frame in k, cheap cloud fits in between — the

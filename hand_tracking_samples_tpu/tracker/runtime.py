@@ -774,13 +774,17 @@ def slowfit(state: TrackerState, model, points, mask, config: TrackerConfig,
         if hold and refpose is not None:
             # ignore wrist->palm joint (hold==1 skips joints 0..3's? the
             # reference filter: (&j != &joints[0] && hold==2) || (&j > &joints[3])
+            # host copies: joint body ids are trace-time structure, and
+            # indexing the closed-over jnp array inside jit yields a tracer
+            import numpy as _np
+            j0 = _np.asarray(model.joint_rbi0)
+            j1 = _np.asarray(model.joint_rbi1)
             hold_rows = []
-            for j in range(model.joint_rbi0.shape[0]):
+            for j in range(j0.shape[0]):
                 keep = (j != 0 and hold == 2) or (j > 3)
                 if keep:
                     hold_rows.append(relative_angular_rows(
-                        body, refpose, int(model.joint_rbi0[j]),
-                        int(model.joint_rbi1[j]), params))
+                        body, refpose, int(j0[j]), int(j1[j]), params))
             if hold_rows:
                 angulars.append(concat_angular(*hold_rows))
         linears = ray_rows

@@ -43,3 +43,28 @@ def quat_err(a, b):
     a, b = np.asarray(a), np.asarray(b)
     sign = np.sign((a * b).sum(-1, keepdims=True))
     return np.abs(a - b * sign).max()
+
+
+def cached_fake_depths(hand_model, poses, name):
+    """Render fake-depth frames for (..., 17, 7) poses, cached as a
+    compressed npz in fixtures/cache (CPU ray-casting the whole animbank
+    protocol per test run would dominate the suite).  The cache key includes
+    a content hash of the poses, so stale caches self-invalidate."""
+    import hashlib
+    import jax
+    import jax.numpy as jnp
+    from hand_tracking_samples_tpu.data.synth import fake_depth, synth_camera
+    poses = np.asarray(poses, np.float32)
+    h = hashlib.sha1(poses.tobytes()).hexdigest()[:12]
+    path = os.path.join(FIXTURES, "cache", f"depths_{name}_{h}.npz")
+    if os.path.exists(path):
+        return np.load(path)["depths"]
+    cam = synth_camera()
+    flat = poses.reshape(-1, 17, 7)
+    render = jax.jit(jax.vmap(lambda p: fake_depth(p, hand_model, cam)))
+    out = []
+    for i in range(0, flat.shape[0], 64):
+        out.append(np.asarray(render(jnp.asarray(flat[i:i + 64]))))
+    depths = np.concatenate(out).reshape(poses.shape[:-2] + (240, 320))
+    np.savez_compressed(path, depths=depths.astype(np.uint16))
+    return depths

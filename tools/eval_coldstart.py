@@ -38,7 +38,7 @@ def main():
     bank = load_animbank(DEFAULT_ANIMBANK)
     cam = synth_camera()
     config = TrackerConfig(point_budget=int(os.environ.get(
-                               "EVAL_POINT_BUDGET", "1024")),
+                               "EVAL_POINT_BUDGET", "2048")),
                            cnn_every_frame=True,
                            solver=SOLVER, use_pallas=SOLVER == "kernel",
                            accum_error_threshold=float(

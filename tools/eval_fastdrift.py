@@ -37,7 +37,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--solver", default="kernel")
     ap.add_argument("--cap", type=int, default=128)
-    ap.add_argument("--budget", type=int, default=1024)
+    ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--pallas", type=int, default=1)
     ap.add_argument("--tracks", type=int, default=64)
     args = ap.parse_args()
