@@ -88,6 +88,9 @@ class SolvePlan(NamedTuple):
     lin_classes: tuple
     ang_classes: tuple
     massinv: np.ndarray   # (B,) host copy
+    bp: int = BP          # body-slot padding: 24 for the 17-body hand, 8 for
+    # the unibody plan (padding the single body to 24 cost 3x the VMEM and
+    # pushed the 512-slot unibody window out of VMEM at point_budget=2048)
 
 
 def build_pair_class(kind: str, unit_b0, unit_b1, U: int, massinv,
@@ -183,6 +186,7 @@ def _make_kernel(plan: SolvePlan, iterations: int, iterations_post: int):
     CS = plan.CS
     lin_classes = plan.lin_classes
     ang_classes = plan.ang_classes
+    BP = plan.bp            # shadows the module default (plan-specific pad)
 
     def kernel(*refs):
         it = iter(refs)
@@ -385,6 +389,7 @@ def _pallas_solve(plan: SolvePlan, iterations: int, iterations_post: int,
                   ang_S, interpret: bool):
     """mom0 (6BP, T), mi (BP, T), s_all (CS, 14BP, T), per-class row stacks.
     T must be a multiple of TBLK.  Returns (2, 6BP, T)."""
+    BP = plan.bp
     T = mom0.shape[-1]
     tblk = _tblk(plan)
     grid = (T // tblk,)
@@ -448,10 +453,10 @@ def _pad_tracks(x, Tp):
     return jnp.pad(x, pad)
 
 
-def _to_planes(channels, Tp):
-    """channels: list of (T, C, B) arrays -> (C, nch*BP, Tp)."""
+def _to_planes(channels, Tp, bp: int = BP):
+    """channels: list of (T, C, B) arrays -> (C, nch*bp, Tp)."""
     x = jnp.stack(channels, axis=2)                     # (T, C, nch, B)
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, BP - x.shape[-1])))
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, bp - x.shape[-1])))
     x = x.transpose(1, 2, 3, 0)                         # (C, nch, BP, T)
     x = x.reshape(x.shape[0], -1, x.shape[-1])
     return _pad_tracks(x, Tp)
@@ -481,8 +486,8 @@ def _mv33(M, v):
          + M[..., i, 2] * v[..., 2] for i in range(3)], axis=-1)
 
 
-def _prep_singles(sb, iinv, massinv, dt, Tp):
-    """sb: SingleBodyLinear with (T, C, B, ...) leaves -> (CS, 14BP, Tp)."""
+def _prep_singles(sb, iinv, massinv, dt, Tp, bp: int = BP):
+    """sb: SingleBodyLinear with (T, C, B, ...) leaves -> (CS, 14*bp, Tp)."""
     act = sb.active.astype(jnp.float32)
     n = sb.normal * act[..., None]
     r1 = sb.r1
@@ -497,7 +502,7 @@ def _prep_singles(sb, iinv, massinv, dt, Tp):
              J1[..., 0], J1[..., 1], J1[..., 2],
              K1[..., 0], K1[..., 1], K1[..., 2],
              dinv, tsm, tsp, sb.fmin * dt * act, sb.fmax * dt * act]
-    return _to_planes(chans, Tp)
+    return _to_planes(chans, Tp, bp)
 
 
 def _gather_rows(x, ridx):
@@ -680,17 +685,19 @@ def _solve_batched(plan, iterations, iterations_post, state, bodies,
     iinv = _batched_world_iinv(q, bodies.tensorinv_massless,
                                bodies.massinv)          # (T, B, 3, 3)
 
+    bp = plan.bp
+
     def mom_planes(linm, angm):
         x = jnp.concatenate([linm, angm], axis=-1)      # (T, B, 6)
-        x = jnp.pad(x, ((0, 0), (0, BP - B), (0, 0)))
-        x = x.transpose(2, 1, 0)                        # (6, BP, T)
-        return _pad_tracks(x.reshape(6 * BP, T), Tp)
+        x = jnp.pad(x, ((0, 0), (0, bp - B), (0, 0)))
+        x = x.transpose(2, 1, 0)                        # (6, bp, T)
+        return _pad_tracks(x.reshape(6 * bp, T), Tp)
 
     mom0 = mom_planes(lin0, ang0)
     mi = _pad_tracks(jnp.broadcast_to(
-        jnp.pad(bodies.massinv, (0, BP - B))[:, None], (BP, T)), Tp)
+        jnp.pad(bodies.massinv, (0, bp - B))[:, None], (bp, T)), Tp)
 
-    s_all = (_prep_singles(single_rows, iinv, bodies.massinv, dt, Tp)
+    s_all = (_prep_singles(single_rows, iinv, bodies.massinv, dt, Tp, bp)
              if plan.CS else None)
     lin_planes = [_prep_lin_class(r, c, iinv, bodies.massinv, dt, Tp)
                   for r, c in zip(lin_rows, plan.lin_classes)]
@@ -706,7 +713,7 @@ def _solve_batched(plan, iterations, iterations_post, state, bodies,
                         interpret=_interpret())            # (2, 6BP, Tp)
 
     def unplanes(x):
-        x = x.reshape(6, BP, Tp)[:, :B, :T]             # (6, B, T)
+        x = x.reshape(6, bp, Tp)[:, :B, :T]             # (6, B, T)
         x = x.transpose(2, 1, 0)                        # (T, B, 6)
         return x[..., 0:3], x[..., 3:6]
 
@@ -807,7 +814,8 @@ def build_unibody_plan(CS: int) -> SolvePlan:
         return _PLANS[key]
     return register_plan(SolvePlan(key=key, CS=CS, lin_classes=(),
                                    ang_classes=(),
-                                   massinv=np.ones(1, np.float32)))
+                                   massinv=np.ones(1, np.float32),
+                                   bp=8))
 
 
 def physics_update_pgs(state: BodyState, bodies: BodyParams,

