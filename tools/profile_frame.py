@@ -71,7 +71,7 @@ def main():
     cam = synth_camera()
     depths, poses = make_depths(model, cam, bank)
 
-    base = TrackerConfig(point_budget=1024, cnn_every_frame=False,
+    base = TrackerConfig(point_budget=int(os.environ.get("PROF_BUDGET", "2048")), cnn_every_frame=False,
                          solver="kernel", cloud_rows_per_body=128,
                          use_pallas=True, contacts_mode="exact")
 
