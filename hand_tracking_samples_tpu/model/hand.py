@@ -198,6 +198,18 @@ def _fit_point_cloud_pgs(state, model, params, points, point_mask,
     ang_rows = list(extra_ang_class_rows)
     ang_rows.append(joint_angular_rows(state, model, params,
                                        rangemin, rangemax))
+    import os as _os
+    if _os.environ.get("HTS_ZERO_ROWS"):
+        # perf-experiment ONLY (bounds the row-factory/prep cost): replace
+        # every non-cloud row's dynamic fields with a cheap pose-dependent
+        # zero so XLA drops the factories + prep without constant-folding
+        z = state.pose[0, 0] * 0.0
+        zero = lambda rows: jax.tree.map(
+            lambda x: jnp.broadcast_to(
+                (z if x.dtype == jnp.float32 else
+                 jnp.zeros((), x.dtype)), x.shape), rows)
+        lin_rows = [zero(r) for r in lin_rows]
+        ang_rows = [zero(r) for r in ang_rows]
     bp = body_params(model)
     new = physics_update_pgs(state, bp, single, lin_rows, ang_rows, plan,
                              params, iterations=iterations,

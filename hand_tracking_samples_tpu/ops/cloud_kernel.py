@@ -74,48 +74,47 @@ def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
         iota_s1 = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
         t_s = jnp.where(Ki > S, (iota_s1 * Ki) // S, iota_s1)  # (1, S)
 
-        # slot -> row: le2[r, s] = kbase[r] <= t(s) (row-major, no
-        # transposes); the winner is the last such row, i.e.
-        # le2[r] & ~le2[r+1].  Mosaic cannot rotate i1 vectors, so shift
-        # kbase (f32) instead of le2.  Compares run in int32 (counts are
-        # exact ints) to skip the f32 cast of the big (Rp, S) iota.
+        # slot -> row: the winner is the LAST row r with kbase[r] <= t(s),
+        # i.e. kbase[r] <= t < kbase[r+1].  Mosaic cannot rotate i1 vectors,
+        # so shift kbase (f32) instead of a mask.  No explicit r<R masks:
+        # padded rows carry krow = 0, so their kbase equals `total` > t and
+        # the compare kills them by value (the final wrapped row's le is
+        # false for the same reason).  Compares run in int32 (counts are
+        # exact ints).
         kbase_i = kbase.astype(jnp.int32)                  # (Rp, 1)
-        iota_rs = jax.lax.broadcasted_iota(jnp.int32, (Rp, S), 0)
-        le2 = (kbase_i <= t_s) & (iota_rs < R)             # (Rp, S)
         kb_next = pltpu.roll(jnp.broadcast_to(kbase_i, (Rp, 128)),
                              Rp - 1, axis=0)[:, 0:1]       # kbase[r+1]
-        nxt = (kb_next <= t_s) & (iota_rs < R - 1)
-        oh2 = (le2 & ~nxt).astype(jnp.bfloat16)            # one-hot row per s
+        # the roll wraps the last row's successor to kbase[0] = 0, which
+        # would veto a winner in the final row — pin it to +inf (a (Rp, 1)
+        # column op, not a wide mask)
+        iota_ri = jax.lax.broadcasted_iota(jnp.int32, (Rp, 1), 0)
+        kb_next = jnp.where(iota_ri == Rp - 1, jnp.int32(0x7fffffff),
+                            kb_next)
+        oh2 = ((kbase_i <= t_s) & (kb_next > t_s)).astype(jnp.bfloat16)
 
-        def pick_rows(m):
-            # (Rp, 128) values -> (S, 128) rows selected per slot
-            return jax.lax.dot_general(
-                oh2, m, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
-
+        # ONE N=(128+128+128+4) pick matmul: the depth rows (two <=8-bit
+        # planes — u16 exceeds bf16's exact-integer range), the kept-cumsum
+        # rows, and the four (Rp, 1) scalar columns all share the oh2
+        # contraction; each output column of a dot_general is an independent
+        # single-term sum, so this is bit-identical to separate picks.
         hi8 = jnp.floor(draw * (1.0 / 256.0))
         lo8 = draw - hi8 * 256.0
-        k_rows = pick_rows(k_in.astype(jnp.bfloat16))      # (S, 128)
-        d_rows = (pick_rows(hi8.astype(jnp.bfloat16)) * 256.0
-                  + pick_rows(lo8.astype(jnp.bfloat16)))   # (S, 128)
-
-        # kbase <= 19,200 exceeds bf16's exact-integer range: split it too.
-        # All four (Rp, 1) column picks share the oh2 contraction, so they
-        # ride ONE N=4 matmul instead of four N=1 MXU passes (each column of
-        # a dot_general is an independent contraction — bit-identical).
         kb_hi = jnp.floor(kbase * (1.0 / 256.0))
         kb_lo = kbase - kb_hi * 256.0
         iota_rc = jax.lax.broadcasted_iota(jnp.int32, (Rp, 1), 0).astype(jnp.float32)
         row_hi = jnp.floor(iota_rc * (1.0 / 256.0))
         row_lo = iota_rc - row_hi * 256.0
-        cols = jnp.concatenate([kb_hi, kb_lo, row_hi, row_lo], axis=1)
-        picked = jax.lax.dot_general(
-            oh2, cols.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        stacked = jnp.concatenate(
+            [k_in, hi8, lo8, kb_hi, kb_lo, row_hi, row_lo],
+            axis=1).astype(jnp.bfloat16)                   # (Rp, 388)
+        picked_all = jax.lax.dot_general(
+            oh2, stacked, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)           # (S, 4)
-        kbase_s = picked[:, 0:1] * 256.0 + picked[:, 1:2]  # (S, 1)
-        row_s = picked[:, 2:3] * 256.0 + picked[:, 3:4]    # (S, 1)
+            precision=jax.lax.Precision.DEFAULT)           # (S, 388)
+        k_rows = picked_all[:, 0:128]                      # (S, 128)
+        d_rows = picked_all[:, 128:256] * 256.0 + picked_all[:, 256:384]
+        kbase_s = picked_all[:, 384:385] * 256.0 + picked_all[:, 385:386]
+        row_s = picked_all[:, 386:387] * 256.0 + picked_all[:, 387:388]
 
         iota_sc = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
         iota_ss = jnp.where(Ki > S, (iota_sc * Ki) // S,

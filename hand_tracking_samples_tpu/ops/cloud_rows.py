@@ -45,64 +45,52 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
         dots_all = (pw_all[:, 0:1] * p3[0:1] + pw_all[:, 1:2] * p3[1:2]
                     + pw_all[:, 2:3] * p3[2:3] + pw_all[:, 3:4])
 
-        # hull most-above candidate VALUES per body; the winner's normal is
-        # extracted after the scan (winner-only — the old per-body normal
-        # extraction paid 5 (P, N) passes for all B bodies)
-        hvals = [jnp.max(dots_all[b * P:(b + 1) * P], axis=0, keepdims=True)
-                 for b in range(B)]
+        # hull most-above candidate VALUES per body
+        hvals = jnp.concatenate(
+            [jnp.max(dots_all[b * P:(b + 1) * P], axis=0, keepdims=True)
+             for b in range(B)], axis=0)                  # (B, N)
 
         body = body_ref[:]                                # (BP, 8)
         ox = misc_ref[0, 0]
         oy = misc_ref[0, 1]
         oz = misc_ref[0, 2]
 
-        # winner scan, reference order: all sphere candidates then all hull
-        # candidates, strict < (physmodel.h:141-150 then :127-135).  Sphere
-        # normals are selected in-scan (cheap (1, N) ops); hull candidates
-        # carry value/body only — if a hull candidate wins, best < the
-        # winner body's own sphere value (strict <, spheres scanned first),
-        # which is the use_hull test below.
-        best = jnp.full((1, N), FLT_MAX, jnp.float32)
-        wb = jnp.zeros((1, N), jnp.float32)
-        wnx = jnp.zeros((1, N), jnp.float32)
-        wny = jnp.zeros((1, N), jnp.float32)
-        wnz = jnp.zeros((1, N), jnp.float32)
-        wpx = jnp.zeros((1, N), jnp.float32)
-        wpy = jnp.zeros((1, N), jnp.float32)
-        wpz = jnp.zeros((1, N), jnp.float32)
-        wsc = jnp.zeros((1, N), jnp.float32)
-        wsv = jnp.full((1, N), FLT_MAX, jnp.float32)      # winner sphere val
+        # Winner = reference scan order (all sphere candidates then all hull
+        # candidates, strict < — physmodel.h:141-150 then :127-135), computed
+        # as ONE batched earliest-index argmin over the 2B candidates: the
+        # sequential strict-< scan keeps the first minimum, which is exactly
+        # min index among value==min.  (The old 34-step select chain paid
+        # ~10 sublane-padded (1, N) ops per candidate.)
+        posx = body[0:B, 0:1]
+        posy = body[0:B, 1:2]
+        posz = body[0:B, 2:3]
+        dxb = p3[0:1] - posx                              # (B, N)
+        dyb = p3[1:2] - posy
+        dzb = p3[2:3] - posz
+        dist = jnp.sqrt(dxb * dxb + dyb * dyb + dzb * dzb)
+        svals = dist - body[0:B, 3:4]                     # (B, N)
 
-        def consider(val, b, sphere, state):
-            best, wb, wnx, wny, wnz, wpx, wpy, wpz, wsc, wsv = state
-            take = val < best
-            sel = lambda a, v: jnp.where(take, v, a)
-            if sphere is not None:
-                nx, ny, nz, sval = sphere
-                wnx, wny, wnz = sel(wnx, nx), sel(wny, ny), sel(wnz, nz)
-                wsv = sel(wsv, sval)
-            else:
-                wsv = sel(wsv, sph_val[b])
-            return (sel(best, val), sel(wb, jnp.float32(b)),
-                    wnx, wny, wnz,
-                    sel(wpx, body[b, 0]), sel(wpy, body[b, 1]),
-                    sel(wpz, body[b, 2]), sel(wsc, body[b, 4]), wsv)
+        vals2 = jnp.concatenate([svals, hvals], axis=0)   # (2B, N)
+        best = jnp.min(vals2, axis=0, keepdims=True)      # (1, N)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (2 * B, N), 0)
+        widx = jnp.min(jnp.where(vals2 == best, iota_c, 2 * B), axis=0,
+                       keepdims=True)                     # (1, N)
+        use_hull = widx >= B
+        wb_i = jnp.where(use_hull, widx - B, widx)        # (1, N) winner body
+        wb = wb_i.astype(jnp.float32)
 
-        state = (best, wb, wnx, wny, wnz, wpx, wpy, wpz, wsc, wsv)
-        sph_val = []
-        for b in range(B):
-            dx = p3[0:1] - body[b, 0]
-            dy = p3[1:2] - body[b, 1]
-            dz = p3[2:3] - body[b, 2]
-            dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-            inv = 1.0 / jnp.maximum(dist, 1e-20)
-            val = dist - body[b, 3]
-            sph_val.append(val)
-            state = consider(val, b, (dx * inv, dy * inv, dz * inv, val),
-                             state)
-        for b in range(B):
-            state = consider(hvals[b], b, None, state)
-        best, wb, wnx, wny, wnz, wpx, wpy, wpz, wsc, wsv = state
+        # winner body fields + sphere normal, via one-hot masked reduces
+        ohb = (jax.lax.broadcasted_iota(jnp.int32, (B, N), 0)
+               == wb_i).astype(jnp.float32)               # (B, N)
+        pick_b = lambda col: jnp.sum(ohb * col, axis=0, keepdims=True)
+        wpx = pick_b(posx)
+        wpy = pick_b(posy)
+        wpz = pick_b(posz)
+        wsc = pick_b(body[0:B, 4:5])
+        inv = 1.0 / jnp.maximum(pick_b(dist), 1e-20)
+        wnx = pick_b(dxb) * inv
+        wny = pick_b(dyb) * inv
+        wnz = pick_b(dzb) * inv
 
         if vals_only:
             # FitError's correspondence: winner (value, body) per point only
@@ -128,7 +116,6 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
         # hull-winner normal: mean of the winner body's maximal planes
         # (same blend-on-ties semantics as the reference's mostabove pick);
         # only meaningful where the hull candidate won the strict-< scan
-        use_hull = best < wsv
         ohm = (dw == best).astype(jnp.float32)            # (P, N)
         cnt = jnp.maximum(jnp.sum(ohm, axis=0, keepdims=True), 1.0)
         hx = jnp.sum(ohm * pnx, axis=0, keepdims=True) / cnt

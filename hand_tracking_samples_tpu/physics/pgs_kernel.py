@@ -199,12 +199,31 @@ def _make_kernel(plan: SolvePlan, iterations: int, iterations_post: int):
         isum_s_ref = next(it) if CS else None
         lin_isum = [next(it) for _ in lin_classes]
         ang_torq = [next(it) for _ in ang_classes]
+        gact_refs = [next(it) if cls.friction else None
+                     for cls in lin_classes]
 
         mi = mi_ref[:]                                  # (BP, T)
         if CS:
             isum_s_ref[:] = jnp.zeros(isum_s_ref.shape, isum_s_ref.dtype)
         for r in lin_isum + ang_torq:
             r[:] = jnp.zeros(r.shape, r.dtype)
+
+        # per-group activity for contact classes (rows inactive -> dinv 0):
+        # most collide pairs never touch, so whole precedence groups skip
+        # their gather + 12-row solve + scatter every sweep.  Computed ONCE
+        # (activity is static across a solve: poses are constant during it),
+        # stored in SMEM for dynamic indexing from the group fori.
+        for cls, refs3, gref in zip(lin_classes, lin_refs, gact_refs):
+            if gref is None:
+                continue
+            rows_ref = refs3[0]
+            W = cls.W
+            for g in range(cls.n_groups):
+                act = jnp.zeros((), jnp.float32)
+                for u in range(cls.U):
+                    blk = rows_ref[g * cls.U + u]
+                    act = act + jnp.sum(jnp.abs(blk[15 * W:16 * W]))
+                gref[g] = (act > 0).astype(jnp.int32)
 
         def single_slot(c, mom, post):
             blk = s_ref[c]                              # (14BP, T)
@@ -360,12 +379,16 @@ def _make_kernel(plan: SolvePlan, iterations: int, iterations_post: int):
                 if CS:
                     mom = chunked(CS, lambda c, m: single_slot(c, m, post),
                                   mom, unroll_cs)
-                for cls, refs, isr in zip(lin_classes, lin_refs, lin_isum):
-                    mom = chunked(
-                        cls.n_groups,
-                        functools.partial(lin_group, cls, refs, isr,
-                                          post=post),
-                        mom, unroll_g)
+                for cls, refs, isr, gref in zip(lin_classes, lin_refs,
+                                                lin_isum, gact_refs):
+                    step = functools.partial(lin_group, cls, refs, isr,
+                                             post=post)
+                    if gref is not None:
+                        base = step
+                        step = (lambda bs: lambda g, m: jax.lax.cond(
+                            gref[g] > 0, lambda mm: bs(g, mm),
+                            lambda mm: mm, m))(base)
+                    mom = chunked(cls.n_groups, step, mom, unroll_g)
                 for cls, refs, tqr in zip(ang_classes, ang_refs, ang_torq):
                     mom = chunked(
                         cls.n_groups,
@@ -425,6 +448,9 @@ def _pallas_solve(plan: SolvePlan, iterations: int, iterations_post: int,
         scratch.append(pltpu.VMEM((cls.n_phases * cls.W, tblk), jnp.float32))
     for cls in plan.ang_classes:
         scratch.append(pltpu.VMEM((cls.n_phases * cls.W, tblk), jnp.float32))
+    for cls in plan.lin_classes:
+        if cls.friction:
+            scratch.append(pltpu.SMEM((cls.n_groups,), jnp.int32))
 
     return pl.pallas_call(
         kernel,
@@ -703,6 +729,12 @@ def _solve_batched(plan, iterations, iterations_post, state, bodies,
                   for r, c in zip(lin_rows, plan.lin_classes)]
     ang_planes = [_prep_ang_class(r, c, iinv, dt, Tp)
                   for r, c in zip(ang_rows, plan.ang_classes)]
+    if os.environ.get("HTS_ZERO_PLANES"):
+        # perf-experiment ONLY: zero the packed pair-row planes with a cheap
+        # pose-dependent scalar so XLA drops factories AND prep
+        z = state.pose[0, 0, 0] * 0.0
+        lin_planes = [jnp.broadcast_to(z, x.shape) for x in lin_planes]
+        ang_planes = [jnp.broadcast_to(z, x.shape) for x in ang_planes]
     lin_G = [jnp.asarray(c.gather) for c in plan.lin_classes]
     lin_S = [jnp.asarray(c.scatter) for c in plan.lin_classes]
     ang_G = [jnp.asarray(c.gather) for c in plan.ang_classes]

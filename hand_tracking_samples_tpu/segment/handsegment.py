@@ -29,14 +29,18 @@ class SegmentResult(NamedTuple):
     valid: jnp.ndarray   # bool: blob found
 
 
-def _edge_argmax(dt, entry, mask_bit, coords):
-    """Scan one image edge for the max distance-transform value, strict->
-    so earlier pixels win ties (reference scan order)."""
-    vals = dt[coords[:, 1], coords[:, 0]]
-    best = jnp.argmax(vals)
-    cand = coords[best]
-    better = vals[best] > dt[entry[1], entry[0]]
-    return jnp.where(mask_bit & better, cand, entry)
+def _edge_argmax(vals, entry, entry_val, make_cand):
+    """Scan one image edge (vals = a STATIC row/col slice of the distance
+    transform — a dynamic dt[coords] gather lowers to a serial loop on TPU)
+    for the max value, strict-> so earlier pixels win ties (reference scan
+    order).  Carries the current entry's value so no dynamic lookup is ever
+    needed."""
+    vmax = jnp.max(vals)
+    best = jnp.argmax(vals)        # first max: earlier pixels win ties
+    better = vmax > entry_val
+    cand = make_cand(best)
+    return (jnp.where(better, cand, entry),
+            jnp.where(better, vmax, entry_val))
 
 
 def hand_segment_vr(depth, cam: DCamera, entry_options: int = 0xF,
@@ -50,26 +54,35 @@ def hand_segment_vr(depth, cam: DCamera, entry_options: int = 0xF,
     wy = (jnp.asarray(wrange[1]) / cam.depth_scale).astype(jnp.uint16)
     dt = distance_transform(threshold(small, hi=wy)).astype(jnp.int32)
 
-    # entry point (handtrack.h:289-293); scan order: bottom, top, right, left
+    # entry point (handtrack.h:289-293); scan order: bottom, top, right,
+    # left.  Every edge is a STATIC slice of dt and every candidate is
+    # reconstructed arithmetically — zero dynamic gathers.
     if entry_options == 1:
         entry = jnp.asarray([sw // 2, sh - 1])
+        entry_val = dt[sh - 1, sw // 2]
     elif entry_options == 4:
         entry = jnp.asarray([sw - 1, sh // 2])
+        entry_val = dt[sh // 2, sw - 1]
     elif entry_options == 8:
         entry = jnp.asarray([0, sh // 2])
+        entry_val = dt[sh // 2, 0]
     else:
         entry = jnp.asarray([0, 0])
-    xs = jnp.arange(sw)
-    ys = jnp.arange(sh)
+        entry_val = dt[0, 0]
     edges = [
-        (entry_options & 1, jnp.stack([xs, jnp.full(sw, sh - 1)], 1)),
-        (entry_options & 2, jnp.stack([xs, jnp.zeros(sw, jnp.int32)], 1)),
-        (entry_options & 4, jnp.stack([jnp.full(sh, sw - 1), ys], 1)),
-        (entry_options & 8, jnp.stack([jnp.zeros(sh, jnp.int32), ys], 1)),
+        (entry_options & 1, dt[sh - 1, :],
+         lambda b: jnp.stack([b, jnp.full_like(b, sh - 1)])),
+        (entry_options & 2, dt[0, :],
+         lambda b: jnp.stack([b, jnp.zeros_like(b)])),
+        (entry_options & 4, dt[:, sw - 1],
+         lambda b: jnp.stack([jnp.full_like(b, sw - 1), b])),
+        (entry_options & 8, dt[:, 0],
+         lambda b: jnp.stack([jnp.zeros_like(b), b])),
     ]
-    for bit, coords in edges:
+    for bit, vals, make_cand in edges:
         if bit:
-            entry = _edge_argmax(dt, entry, True, coords)
+            entry, entry_val = _edge_argmax(vals, entry, entry_val,
+                                            make_cand)
 
     # weighted centroid / avg depth over blob pixels (handtrack.h:295-315)
     gy, gx = jnp.meshgrid(jnp.arange(sh, dtype=jnp.float32),
@@ -91,10 +104,10 @@ def hand_segment_vr(depth, cam: DCamera, entry_options: int = 0xF,
     along = (gx - entf[0]) * (com[0] - entf[0]) + (gy - entf[1]) * (com[1] - entf[1])
     along = jnp.where(blob, along, -jnp.inf)
     has_blob = jnp.any(blob)
-    eidx = jnp.argmax(along)
-    extreme = jnp.where(has_blob,
-                        jnp.stack([gx.reshape(-1)[eidx], gy.reshape(-1)[eidx]]),
-                        entf)
+    eidx = jnp.argmax(along)       # row-major flat index -> coords by
+    ex = (eidx % sw).astype(jnp.float32)   # arithmetic (no dynamic gather)
+    ey = (eidx // sw).astype(jnp.float32)
+    extreme = jnp.where(has_blob, jnp.stack([ex, ey]), entf)
 
     avgdepth = jnp.clip(avgdepth, 0.20, 1.0)
     valid = ok & jnp.any(com != entf)

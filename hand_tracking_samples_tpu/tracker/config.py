@@ -62,7 +62,9 @@ class TrackerConfig:
     use_pallas: bool = False        # fused correspondence kernel (TPU only);
     # requires point budgets that are multiples of 512
     contacts_mode: str = "exact"    # "exact" precedence schedule or "jacobi"
-    # (one parallel phase per row kind; measured deviation << parity gate)
+    # (one parallel phase per row kind; ~9% faster at cnn_every_k=4 but the
+    # kernel's and the colored solver's jacobi orderings differ at ~1e-4 m
+    # per solve — the bench-parity gate pins the exact schedule)
     mirror_plane: tuple = ()        # mirror-rig plane (a,b,c,d): cloud points
     # under it are reflected back into the scene and the coplanar band is
     # dropped (misc_image.h:480-485 MirrorPlaneSplit; the reference parses
