@@ -126,6 +126,35 @@ def bench_export(model, bank, cam):
          5 * T / min(dts), 60.0)
 
 
+def _recorded_depths(model, bank, cam, frame_ids):
+    """BASELINE config 3 is 'recorded depth seqs': stream the depth frames
+    from a DatasetWriter .rs recording of the animbank (the reference's
+    file-replay mode, realtime-tracker.cpp:38 / dcam.h:345) instead of the
+    in-memory render.  The recording is written once and cached; every
+    benched frame then round-trips the real on-disk container through the
+    C++ streaming loader."""
+    from hand_tracking_samples_tpu.data.dataset import (DatasetInfo,
+                                                        DatasetWriter,
+                                                        load_dataset)
+    cache = os.environ.get("BENCH_REC_CACHE", "/tmp/hts_bench_rec")
+    bname = os.path.join(cache, f"animbank_{len(bank)}")
+    if not os.path.exists(bname + ".rs"):
+        os.makedirs(cache, exist_ok=True)
+        render = jax.jit(jax.vmap(lambda p: fake_depth(p, model, cam)))
+        frames = np.concatenate(
+            [np.asarray(render(jnp.asarray(bank[i:i + 256])))
+             for i in range(0, len(bank), 256)])
+        info = DatasetInfo(dims=(320, 240), focal=(305, 305),
+                           principal=(160, 120), depth_scale=0.001)
+        with DatasetWriter(bname, info) as w:
+            w.save_frames(frames, bank)
+        sys.stderr.write(f"# wrote recording {bname}.rs "
+                         f"({os.path.getsize(bname + '.rs') / 1e6:.0f} MB)\n")
+    ds = load_dataset(bname)
+    depths = np.asarray(ds.depth)                    # (F_total, H, W) uint16
+    return jnp.asarray(depths[np.asarray(frame_ids)])  # (F, T, H, W)
+
+
 def main():
     model = jtu.tree_map(jnp.asarray, load_hand_model(MODEL_JSON))
     bank = load_animbank(ANIMBANK)
@@ -137,7 +166,8 @@ def main():
         return bench_train()
     if mode == "export":
         return bench_export(model, bank, cam)
-    full = mode == "full"
+    recorded = mode == "full_rec"
+    full = mode == "full" or recorded
     config = TrackerConfig(point_budget=POINT_BUDGET, cnn_every_frame=full,
                            cnn_every_k=int(os.environ.get("BENCH_CNN_K", "1")),
                            solver=SOLVER, cloud_rows_per_body=CLOUD_ROWS,
@@ -169,12 +199,15 @@ def main():
     frame_ids = (starts[None, :] + np.arange(N_FRAMES)[:, None])  # (F, T)
     poses = jnp.asarray(bank[frame_ids])                          # (F, T, 17, 7)
 
-    render = jax.jit(jax.vmap(lambda p: fake_depth(p, model, cam)))
-    RCHUNK = 256  # the ray-cast scan keeps a (chunk, pixels, planes) slab live
-    depths = jnp.stack([
-        jnp.concatenate([render(poses[f, i:i + RCHUNK])
-                         for i in range(0, N_TRACKS, RCHUNK)])
-        for f in range(N_FRAMES)])                                # (F,T,H,W)
+    if recorded:
+        depths = _recorded_depths(model, bank, cam, frame_ids)
+    else:
+        render = jax.jit(jax.vmap(lambda p: fake_depth(p, model, cam)))
+        RCHUNK = 256  # ray-cast scan keeps a (chunk, pixels, planes) slab live
+        depths = jnp.stack([
+            jnp.concatenate([render(poses[f, i:i + RCHUNK])
+                             for i in range(0, N_TRACKS, RCHUNK)])
+            for f in range(N_FRAMES)])                            # (F,T,H,W)
     depths.block_until_ready()
 
     states = batched_tracker_state(model, N_TRACKS)
@@ -253,7 +286,8 @@ def main():
                 f"(measured, identical protocol)\n")
 
     print(json.dumps({
-        "metric": ("synthetic_full_pipeline_tracked_fps_per_chip" if full
+        "metric": ("recorded_full_pipeline_tracked_fps_per_chip" if recorded
+                   else "synthetic_full_pipeline_tracked_fps_per_chip" if full
                    else "synthetic_dynamics_tracked_fps_per_chip"),
         "value": round(fps, 1),
         "unit": "frames/s/chip",

@@ -87,19 +87,46 @@ class CNNAnalysis(NamedTuple):
 
 
 def analyze_cnn_output(cnn_output, hcam: DCamera) -> CNNAnalysis:
-    """cnn_output: (2304,) post-softmax floats; hcam the 16x16 heatmap cam."""
-    hm = cnn_output[: N_HEATMAPS * HM * HM].reshape(N_HEATMAPS, HM, HM)
+    """cnn_output: (2304,) post-softmax floats; hcam the 16x16 heatmap cam.
 
-    def per_map(fmap):
-        mx = image_find_max(fmap)
-        p = peak_subpixel(fmap, mx)
-        conf = peak_volume(fmap, p)
-        n = pose_apply(hcam.pose, hcam.deprojectz(p, jnp.float32(1.0)))
-        n = n / jnp.linalg.norm(n)
-        peakval = fmap.max()  # value at the first argmax == the max (no gather)
-        return jnp.concatenate([n, peakval[None]]), p, conf
-
-    crays, image_points, confidence = jax.vmap(per_map)(hm)
+    The 8 heatmaps are decoded on their FLAT (8, 256) layout — identical
+    raster-order semantics to the per-map 2-D form (ImageFindMax's first
+    strict maximum is the flat argmax; the window masks compare the same
+    x/y coordinates), but the minor axis stays lane-dense under the tracks
+    vmap instead of padding 16 -> 128."""
+    hmf = cnn_output[: N_HEATMAPS * HM * HM].reshape(N_HEATMAPS, HM * HM)
+    iota = jnp.arange(HM * HM, dtype=jnp.int32)
+    xs = iota % HM                                        # (256,)
+    ys = iota // HM
+    idx = jnp.argmax(hmf, axis=-1).astype(jnp.int32)      # (8,) first max
+    px = (idx % HM)[:, None]
+    py = (idx // HM)[:, None]
+    # PeakSubPixel (misc_image.h:313-326), window r=1 clamped
+    inwin = ((xs[None] >= jnp.maximum(0, px - 1))
+             & (xs[None] < jnp.minimum(HM, px + 2))
+             & (ys[None] >= jnp.maximum(0, py - 1))
+             & (ys[None] < jnp.minimum(HM, py + 2)))
+    w = jnp.where(inwin, hmf, 0.0)
+    wsum = w.sum(-1)
+    cx = (w * xs).sum(-1) / jnp.maximum(wsum, 1e-30)
+    cy = (w * ys).sum(-1) / jnp.maximum(wsum, 1e-30)
+    zero_w = wsum == 0
+    image_points = jnp.stack(
+        [jnp.where(zero_w, px[:, 0].astype(jnp.float32), cx),
+         jnp.where(zero_w, py[:, 0].astype(jnp.float32), cy)], axis=-1)
+    # PeakVolume (misc_image.h:328-336) around round(subpixel peak)
+    vx = (image_points[:, 0] + 0.5).astype(jnp.int32)[:, None]
+    vy = (image_points[:, 1] + 0.5).astype(jnp.int32)[:, None]
+    vwin = ((xs[None] >= jnp.maximum(0, vx - 1))
+            & (xs[None] < jnp.minimum(HM, vx + 2))
+            & (ys[None] >= jnp.maximum(0, vy - 1))
+            & (ys[None] < jnp.minimum(HM, vy + 2)))
+    confidence = jnp.where(vwin, hmf, 0.0).sum(-1)
+    n = pose_apply(hcam.pose, hcam.deprojectz(image_points,
+                                              jnp.float32(1.0)))
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    peakval = hmf.max(-1)     # value at the first argmax == the max
+    crays = jnp.concatenate([n, peakval[:, None]], axis=-1)
 
     vmap_img = cnn_output[N_HEATMAPS * HM * HM:].reshape(KEY_ANGLES, HM)
     vals = peaks_1d(vmap_img)

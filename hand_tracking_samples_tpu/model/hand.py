@@ -76,7 +76,7 @@ def fit_point_cloud(state: BodyState, model, params: PhysicsParams,
                     contacts_fn=None, schedule=None, single_blocks=None,
                     angular_pair_blocks=None, cloud_slots: int = 128,
                     use_kernel: bool = False, pgs_plan=None,
-                    extra_ang_class_rows=None) -> BodyState:
+                    extra_ang_class_rows=None, fused_inputs=None) -> BodyState:
     """FitPointCloud (physmodel.h:345-356).
 
     Row order matches the reference: [caller linears][cloud rows][joint
@@ -92,6 +92,11 @@ def fit_point_cloud(state: BodyState, model, params: PhysicsParams,
     under vmap).  extra_ang_class_rows are per-class AngularRows matching the
     plan's leading angular classes (e.g. the ApplyAngles rows).
     """
+    if fused_inputs is not None:
+        return _fit_point_cloud_fused(
+            state, model, params, points, point_mask, microforce, origin,
+            iterations, iterations_post, pgs_plan, single_blocks or [],
+            cloud_slots, use_kernel, fused_inputs)
     if pgs_plan is not None:
         return _fit_point_cloud_pgs(
             state, model, params, points, point_mask, microforce, origin,
@@ -160,6 +165,47 @@ def _fit_point_cloud_colored(state, model, params, points, point_mask,
     new = physics_update_colored(state, bp, lin_blocks, ang_blocks, params,
                                  iterations=iterations,
                                  iterations_post=iterations_post)
+    return sanity_check(new, bp)
+
+
+def _fit_point_cloud_fused(state, model, params, points, point_mask,
+                           microforce, origin, iterations, iterations_post,
+                           plan, single_blocks, cloud_slots, use_kernel,
+                           fused_inputs):
+    """Kernel path via the fused tracks-last row pipeline
+    (physics/fused_fit.py): same row schedule, factories computed in the
+    solve's native planes layout under vmap."""
+    import jax as _jax
+    from ..physics.fused_fit import fused_fit
+    from ..physics.colored import pack_single_body_linear
+    from ..fitting.cloud import cloud_constraint_rows, scale_cloud_forces
+
+    B = state.pose.shape[0]
+    sb = list(single_blocks)
+    if points.shape[0] > 0:
+        if use_kernel:
+            from ..ops.cloud_rows import cloud_rows_packed
+            scale_b = jnp.where(jnp.arange(B) <= 2, PHYSICS_WEAK_FORCE,
+                                1.0) * microforce
+            o = jnp.zeros(3, jnp.float32) if origin is None else origin
+            blk, _ = cloud_rows_packed(state, model, points, point_mask, o,
+                                       scale_b, cloud_slots)
+            sb.append(blk)
+        else:
+            cloud = cloud_constraint_rows(state, model, points, point_mask,
+                                          origin=origin, use_kernel=use_kernel)
+            weak = (cloud.b1 <= 2).astype(jnp.float32)
+            scale = (weak * PHYSICS_WEAK_FORCE + (1.0 - weak)) * microforce
+            cloud = scale_cloud_forces(cloud, scale)
+            sb.append(pack_single_body_linear(cloud, B, cloud_slots))
+    single = (_jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *sb)
+              if sb else None)
+    bp = body_params(model)
+    new = fused_fit(state, bp, single, fused_inputs.get("aa"), plan, params,
+                    iterations=iterations, iterations_post=iterations_post,
+                    mode=fused_inputs["mode"],
+                    drive_force=fused_inputs.get("drive_force", 0.0),
+                    model=model)
     return sanity_check(new, bp)
 
 

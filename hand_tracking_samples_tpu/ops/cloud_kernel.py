@@ -24,6 +24,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
+    KW = -(-128 // max(frac, 1))     # max kept per row (every frac-th valid)
+    KW = min(128, -(-KW // 8) * 8)   # sublane-aligned payload width
+
     def kernel(draw_ref, scal_ref, out_ref):
         lo = scal_ref[0]
         hi = scal_ref[1]
@@ -66,6 +69,39 @@ def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
         kbase = row_cumsum_excl(krow)                      # (Rp, 1)
         total = jnp.max(kbase + krow)
 
+        # ---- per-row LEFT-COMPACTION of the kept points to KW lanes ----
+        # Every row holds <= ceil(128/frac) kept points (kept is every
+        # frac-th of the global valid rank, so any 128 consecutive ranks
+        # contain at most that many).  Each kept element's in-row
+        # destination is k_in-1; shift = lane - dest is NON-DECREASING along
+        # the row, and routing a monotone compaction LSB-first over the
+        # shift's bits is collision- and order-preserving at every stage
+        # (positions stay dest + (shift with low bits cleared), strictly
+        # increasing).  7 roll+select stages replace the (Rp, 3*128)-wide
+        # slot-pick payload with a (Rp, KW)-wide one.
+        iota_l128 = jax.lax.broadcasted_iota(jnp.int32, (Rp, 128), 1)
+        keep_i = kept.astype(jnp.int32)
+        sh = jnp.where(kept, iota_l128 - (k_in.astype(jnp.int32) - 1), 0)
+        cz = jnp.where(kept, draw, 0.0)                    # carried value
+        cl = jnp.where(kept, iota_l128, 0)                 # carried lane idx
+        b = 1
+        while b < 128:
+            inc_sh = pltpu.roll(sh, 128 - b, axis=1)
+            inc_valid = pltpu.roll(keep_i, 128 - b, axis=1)
+            move_in = ((inc_valid > 0) & ((inc_sh & b) != 0)
+                       & (iota_l128 <= 127 - b))
+            stay = (keep_i > 0) & ((sh & b) == 0)
+            cz = jnp.where(move_in, pltpu.roll(cz, 128 - b, axis=1),
+                           jnp.where(stay, cz, 0.0))
+            cl = jnp.where(move_in, pltpu.roll(cl, 128 - b, axis=1),
+                           jnp.where(stay, cl, 0))
+            keep_new = jnp.where(move_in, 1, jnp.where(stay, keep_i, 0))
+            sh = jnp.where(move_in, inc_sh - b, jnp.where(stay, sh, 0))
+            keep_i = keep_new
+            b *= 2
+        cz = cz[:, 0:KW]                                   # (Rp, KW)
+        cl = cl[:, 0:KW].astype(jnp.float32)
+
         # slot -> kept-point index: identity while everything fits; when the
         # kept count exceeds the budget, sample the kept sequence uniformly
         # instead of truncating its tail (matches image_ops.cloud_from_depth
@@ -92,40 +128,43 @@ def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
                             kb_next)
         oh2 = ((kbase_i <= t_s) & (kb_next > t_s)).astype(jnp.bfloat16)
 
-        # ONE N=(128+128+128+4) pick matmul: the depth rows (two <=8-bit
-        # planes — u16 exceeds bf16's exact-integer range), the kept-cumsum
-        # rows, and the four (Rp, 1) scalar columns all share the oh2
-        # contraction; each output column of a dot_general is an independent
-        # single-term sum, so this is bit-identical to separate picks.
-        hi8 = jnp.floor(draw * (1.0 / 256.0))
-        lo8 = draw - hi8 * 256.0
+        # ONE pick matmul over the COMPACTED payload: the kept depths as two
+        # <=8-bit planes (u16 exceeds bf16's exact-integer range), the kept
+        # lane indices (<=127, bf16-exact), and the four (Rp, 1) scalar
+        # columns.  Each output column is an independent single-term sum, so
+        # this is bit-identical to separate picks.
+        hi8 = jnp.floor(cz * (1.0 / 256.0))
+        lo8 = cz - hi8 * 256.0
         kb_hi = jnp.floor(kbase * (1.0 / 256.0))
         kb_lo = kbase - kb_hi * 256.0
         iota_rc = jax.lax.broadcasted_iota(jnp.int32, (Rp, 1), 0).astype(jnp.float32)
         row_hi = jnp.floor(iota_rc * (1.0 / 256.0))
         row_lo = iota_rc - row_hi * 256.0
         stacked = jnp.concatenate(
-            [k_in, hi8, lo8, kb_hi, kb_lo, row_hi, row_lo],
-            axis=1).astype(jnp.bfloat16)                   # (Rp, 388)
+            [hi8, lo8, cl, kb_hi, kb_lo, row_hi, row_lo],
+            axis=1).astype(jnp.bfloat16)                   # (Rp, 3KW+4)
         picked_all = jax.lax.dot_general(
             oh2, stacked, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)           # (S, 388)
-        k_rows = picked_all[:, 0:128]                      # (S, 128)
-        d_rows = picked_all[:, 128:256] * 256.0 + picked_all[:, 256:384]
-        kbase_s = picked_all[:, 384:385] * 256.0 + picked_all[:, 385:386]
-        row_s = picked_all[:, 386:387] * 256.0 + picked_all[:, 387:388]
+            precision=jax.lax.Precision.DEFAULT)           # (S, 3KW+4)
+        hi_rows = picked_all[:, 0:KW]                      # (S, KW)
+        lo_rows = picked_all[:, KW:2 * KW]
+        lane_rows = picked_all[:, 2 * KW:3 * KW]
+        kbase_s = (picked_all[:, 3 * KW:3 * KW + 1] * 256.0
+                   + picked_all[:, 3 * KW + 1:3 * KW + 2])
+        row_s = (picked_all[:, 3 * KW + 2:3 * KW + 3] * 256.0
+                 + picked_all[:, 3 * KW + 3:3 * KW + 4])
 
         iota_sc = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
         iota_ss = jnp.where(Ki > S, (iota_sc * Ki) // S,
                             iota_sc).astype(jnp.float32)   # t(s), (S, 1)
-        j = iota_ss - kbase_s                              # (S, 1)
-        lane = jnp.sum((k_rows <= j).astype(jnp.float32), axis=1,
-                       keepdims=True)                      # (S, 1)
-        lane = jnp.minimum(lane, 127.0)
-        iota_l = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1).astype(jnp.float32)
-        z = jnp.sum(jnp.where(iota_l == lane, d_rows, 0.0), axis=1,
-                    keepdims=True) * scale                 # (S, 1)
+        j = iota_ss - kbase_s                              # (S, 1) in [0,KW)
+        iota_k = jax.lax.broadcasted_iota(
+            jnp.int32, (S, KW), 1).astype(jnp.float32)
+        sel = (iota_k == j).astype(jnp.float32)
+        z = (jnp.sum(sel * hi_rows, axis=1, keepdims=True) * 256.0
+             + jnp.sum(sel * lo_rows, axis=1, keepdims=True)) * scale
+        lane = jnp.sum(sel * lane_rows, axis=1, keepdims=True)
         ok = (iota_ss < total).astype(jnp.float32)
         flat = row_s * 128.0 + lane
         # true division (exact when the quotient is representable); a

@@ -211,22 +211,23 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
             [nxf, nyf, nzf, r1x, r1y, r1z, td, wsc,
              active.astype(jnp.float32), zeros], axis=0)  # (16, N)
         # factorized scatter: code = wb*C + slot splits into the body mask
-        # (oh, thin-filtered) x the shared slot one-hot, so the pack runs as
-        # B small (16, N)x(N, C) contractions instead of one (N, BP*C)
-        # one-hot build + matmul (~3x fewer VPU passes at C=128).  Each
-        # (body, slot) output receives at most one point (kept slots are
-        # unique per body), so the sums are exact.
+        # (oh, thin-filtered) x the shared slot one-hot.  All B bodies'
+        # masked channel stacks ride ONE (16B, N)x(N, C) contraction — the
+        # MXU streams 16B rows in one pass instead of paying B small-M
+        # matmuls.  Each (body, slot) output receives at most one point
+        # (kept slots are unique per body), so the sums are exact.
         rankT = jnp.transpose(nr, (1, 0))                 # (N, 1)
         keepT = jnp.transpose(keep.astype(jnp.float32), (1, 0))  # (N, 1)
         iota_c = jax.lax.broadcasted_iota(
             jnp.int32, (N, C), 1).astype(jnp.float32)
         ohr = (((iota_c == rankT) & (rankT < C)).astype(jnp.float32)
                * keepT)
+        big = jnp.concatenate([vals * oh[b:b + 1] for b in range(B)],
+                              axis=0)                     # (16B, N)
+        res = jnp.dot(big, ohr, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)  # (16B, C)
         for b in range(B):
-            valsb = vals * oh[b:b + 1]                    # (16, N)
-            packed_ref[:, b * C:(b + 1) * C] = jnp.dot(
-                valsb, ohr, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            packed_ref[:, b * C:(b + 1) * C] = res[b * 16:(b + 1) * 16]
         if B < BP:
             packed_ref[:, B * C:] = jnp.zeros((16, (BP - B) * C), jnp.float32)
 

@@ -49,6 +49,13 @@ from .config import TrackerConfig
 DEG2RAD = 3.14159 / 180.0
 
 
+def _use_fused() -> bool:
+    """Kernel-path row pipeline: fused tracks-last planes (default) vs the
+    per-track factories (HTS_FUSED=0, kept for A/B and bisection)."""
+    import os
+    return os.environ.get("HTS_FUSED", "1") == "1"
+
+
 def _full_precision(fn):
     """TPU matmuls default to bf16 inputs; geometry/solver contractions need
     f32 (mm-scale parity).  Explicit bf16 casts (e.g. CNN compute_dtype)
@@ -298,6 +305,7 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
                    params, schedule=None) -> BodyState:
     colored = schedule is not None
     kernel = config.solver == "kernel"
+    fused = kernel and _use_fused()
     bp = body_params(model)
     body = sanity_check(body, bp)
     npts = jnp.maximum(point_mask.sum(), 1)
@@ -321,7 +329,7 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
         ang_blocks = []
         extra_ang = []
         has_angles = s < config.steps_keyangles or config.angles_only
-        if has_angles:
+        if has_angles and not fused:
             aa = apply_angles(body, model, analysis, camera_pose, params,
                               10000.0 if s < config.steps_palmangle else 0.0)
             if kernel:
@@ -380,15 +388,27 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
                 else:
                     linears.append(cloud)
 
-        armdir = qrot(pose_quat(camera_pose), jnp.asarray([0.0, -1, 0]))
-        enh, rmin, rmax = hand_model_enhancements(body, model, params, armdir)
-        if kernel:
-            extra_ang.append(enh)
-        elif colored:
-            from ..physics.schedule import pair_angular
-            ang_blocks.append(pair_angular(enh, schedule.enh_cone))
+        fused_inputs = None
+        if fused:
+            rmin = rmax = None
+            fused_inputs = {
+                "mode": "ms_angles" if has_angles else "ms_noangles",
+                "aa": (analysis.palmq, analysis.finger_clenched,
+                       pose_quat(camera_pose)),
+                "drive_force": (10000.0 if s < config.steps_palmangle
+                                else 0.0),
+            }
         else:
-            angulars.append(enh)
+            armdir = qrot(pose_quat(camera_pose), jnp.asarray([0.0, -1, 0]))
+            enh, rmin, rmax = hand_model_enhancements(body, model, params,
+                                                      armdir)
+            if kernel:
+                extra_ang.append(enh)
+            elif colored:
+                from ..physics.schedule import pair_angular
+                ang_blocks.append(pair_angular(enh, schedule.enh_cone))
+            else:
+                angulars.append(enh)
 
         plan = None
         if kernel:
@@ -413,7 +433,7 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
             angular_pair_blocks=ang_blocks,
             cloud_slots=config.cloud_rows_per_body,
             use_kernel=config.use_pallas, pgs_plan=plan,
-            extra_ang_class_rows=extra_ang)
+            extra_ang_class_rows=extra_ang, fused_inputs=fused_inputs)
         body = body._replace(linear_momentum=jnp.zeros_like(body.linear_momentum),
                              angular_momentum=jnp.zeros_like(body.angular_momentum))
     return sanity_check(body, bp)
@@ -702,10 +722,14 @@ def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
     body = state.body
     contacts_fn = (lambda s: contact_rows(s, model, params)) \
         if config.physics_use_collision else None
+    fused = kernel and _use_fused()
     if not config.angles_only:
         for _ in range(config.mainthreadpasses):
-            enh, rmin, rmax = hand_model_enhancements(body, model, params,
-                                                      armdir=None)
+            if fused:
+                enh = rmin = rmax = None
+            else:
+                enh, rmin, rmax = hand_model_enhancements(body, model,
+                                                          params, armdir=None)
             linears = None
             single_blocks = []
             if config.boundary_planes:
@@ -730,7 +754,8 @@ def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
                 contacts_fn=contacts_fn,
                 schedule=schedule, single_blocks=single_blocks,
                 cloud_slots=config.cloud_rows_per_body,
-                use_kernel=config.use_pallas, pgs_plan=plan)
+                use_kernel=config.use_pallas, pgs_plan=plan,
+                fused_inputs={"mode": "dyn"} if fused else None)
 
     initializing = jnp.where(npts < config.min_point_num, 50,
                              state.initializing)

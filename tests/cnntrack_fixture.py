@@ -16,12 +16,19 @@ together with tests/fixtures/cnntrack_ref.json:
         /root/repo/tests/fixtures/cnntrack_rec)
 
 START chosen to cover both stable tracking and a fast segment.
+
+Round 4 adds a second, longer recording (cnntrack_rec2: 128 consecutive
+frames from bank[560], spanning the ~630-670 fast segment) so the
+accept/reject branch is exercised through multiple re-acquisitions, and the
+golden side is generated for k in {1, 4, 8} on both recordings
+(GG_TAG names the variants, e.g. cnntrack_ref2_k8.json).
 """
 import os
 import sys
 
 START = 940
 N = 32
+RECS = [("", 940, 32), ("2", 560, 128)]
 
 if __name__ == "__main__":
     os.environ["HTS_PLATFORM"] = "cpu"
@@ -44,11 +51,18 @@ if __name__ == "__main__":
     bank = load_animbank(DEFAULT_ANIMBANK)
     cam = synth_camera()
     render = jax.jit(lambda p: fake_depth(p, model, cam))
-    frames = np.stack([np.asarray(render(jnp.asarray(bank[START + i])))
-                       for i in range(N)])
     info = DatasetInfo(dims=(320, 240), focal=(305, 305),
                        principal=(160, 120), depth_scale=0.001)
-    out = os.path.join(os.path.dirname(__file__), "fixtures", "cnntrack_rec")
-    with DatasetWriter(out, info) as w:
-        w.save_frames(frames, bank[START:START + N])
-    print(f"wrote {out}.rs/.pose/.json ({N} frames from bank[{START}])")
+    for tag, start, n in RECS:
+        out = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "cnntrack_rec" + tag)
+        if os.path.exists(out + ".rs"):
+            # recordings are COMMITTED; never silently rewrite one the golden
+            # was generated against (rm the .rs first to force)
+            print(f"skip {out}.rs (exists)")
+            continue
+        frames = np.stack([np.asarray(render(jnp.asarray(bank[start + i])))
+                           for i in range(n)])
+        with DatasetWriter(out, info) as w:
+            w.save_frames(frames, bank[start:start + n])
+        print(f"wrote {out}.rs/.pose/.json ({n} frames from bank[{start}])")

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Regenerate the committed per-round eval artifacts (VERDICT r3 item 5).
+
+Writes machine-readable JSON for the headline claims into eval/:
+  * coldstart_r{N}.json       — 64 starts x 64 frames full-pipeline cold
+                                start (tools/eval_coldstart.py protocol)
+  * fastdrift_r{N}.json       — 512-track dynamics drift at the bench
+                                protocol vs the C++ golden (fastdrift_ref)
+  * dyntrack_kernel_r{N}.json — the 30-frame dyntrack golden tracked by the
+                                COMPILED kernel path at the shipped bench
+                                config on the real chip
+
+Run on the real TPU:  ROUND=r04 python tools/eval_artifacts.py [which ...]
+(which: coldstart fastdrift dyntrack; default all).  Schema/band checks:
+tests/test_eval_artifacts.py.
+"""
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROUND = os.environ.get("ROUND", "r04")
+OUT = os.path.join(REPO, "eval")
+
+
+def _write(name, payload, command):
+    os.makedirs(OUT, exist_ok=True)
+    payload = dict(payload)
+    payload["round"] = ROUND
+    payload["command"] = command
+    path = os.path.join(OUT, f"{name}_{ROUND}.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print("wrote", path, flush=True)
+
+
+def coldstart():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    from hand_tracking_samples_tpu.assets_paths import (
+        DEFAULT_ANIMBANK, DEFAULT_CNNB, DEFAULT_MODEL_JSON)
+    from hand_tracking_samples_tpu.cnn.model import load_cnnb
+    from hand_tracking_samples_tpu.data.animbank import load_animbank
+    from hand_tracking_samples_tpu.data.synth import fake_depth, synth_camera
+    from hand_tracking_samples_tpu.model.bake import load_hand_model
+    from hand_tracking_samples_tpu.parallel.tracks import (
+        batched_tracker_state, batched_update)
+    from hand_tracking_samples_tpu.tracker.config import TrackerConfig
+    from hand_tracking_samples_tpu.tracker.runtime import physics_params
+
+    T, F = 64, 64
+    model = jtu.tree_map(jnp.asarray, load_hand_model(DEFAULT_MODEL_JSON))
+    bank = load_animbank(DEFAULT_ANIMBANK)
+    cam = synth_camera()
+    config = TrackerConfig(cnn_every_frame=True, solver="kernel",
+                           use_pallas=True)
+    params = physics_params(config)
+    cnn = load_cnnb(DEFAULT_CNNB)
+    starts = (np.arange(T) * 211) % (len(bank) - F)
+    render = jax.jit(jax.vmap(lambda p: fake_depth(p, model, cam)))
+    states = batched_tracker_state(model, T)
+    states = states._replace(initializing=jnp.full(T, 50, jnp.int32))
+    run = jax.jit(lambda s, d: batched_update(s, model, cnn, d, cam, config,
+                                              params)[0])
+    err = None
+    for f in range(F):
+        gt = jnp.asarray(bank[starts + f])
+        states = run(states, render(gt))
+        err = np.asarray(jnp.linalg.norm(
+            states.body.pose[:, :, :3] - gt[:, :, :3], axis=-1).mean(axis=-1))
+        if f % 16 == 15:
+            print(f"frame {f}: mean {err.mean() * 1000:.2f} mm", flush=True)
+    _write("coldstart", {
+        "protocol": f"{T} starts x {F} frames, full pipeline, defaults",
+        "mean_mm": round(float(err.mean() * 1000), 2),
+        "median_mm": round(float(np.median(err) * 1000), 2),
+        "pct_lt8mm": round(float((err < 0.008).mean() * 100), 1),
+        "reference_mean_mm": 8.21, "reference_pct_lt8mm": 72.0,
+        "per_start_mm": [round(float(e * 1000), 2) for e in err],
+    }, "ROUND=%s python tools/eval_artifacts.py coldstart" % ROUND)
+
+
+def fastdrift():
+    cmd = [sys.executable, os.path.join(REPO, "tools", "eval_fastdrift.py"),
+           "--json", os.path.join(OUT, f"fastdrift_{ROUND}.json")]
+    os.makedirs(OUT, exist_ok=True)
+    subprocess.check_call(cmd, env={**os.environ, "EVAL_ROUND": ROUND})
+
+
+def dyntrack():
+    """The bench-parity 30-frame golden, tracked by the COMPILED kernel path
+    at the shipped defaults on whatever backend is live (the real chip when
+    run under axon)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    from hand_tracking_samples_tpu.assets_paths import (DEFAULT_ANIMBANK,
+                                                        DEFAULT_MODEL_JSON)
+    from hand_tracking_samples_tpu.data.animbank import load_animbank
+    from hand_tracking_samples_tpu.data.synth import fake_depth, synth_camera
+    from hand_tracking_samples_tpu.model.bake import load_hand_model
+    from hand_tracking_samples_tpu.parallel.tracks import (
+        batched_tracker_state, batched_update)
+    from hand_tracking_samples_tpu.tracker.config import TrackerConfig
+    from hand_tracking_samples_tpu.tracker.runtime import physics_params
+
+    fix = os.path.join(REPO, "tests", "fixtures", "golden.json")
+    golden = json.load(open(fix))
+    F, start = 30, 0   # the dyntrack golden protocol (test_bench_parity.py)
+    refp = np.array(golden["dyntrack_poses"], np.float32).reshape(F, 17, 7)
+    model = jtu.tree_map(jnp.asarray, load_hand_model(DEFAULT_MODEL_JSON))
+    bank = load_animbank(DEFAULT_ANIMBANK)
+    cam = synth_camera()
+    config = TrackerConfig(solver="kernel", use_pallas=True,
+                           cnn_every_frame=False)
+    params = physics_params(config)
+    render = jax.jit(lambda p: fake_depth(p, model, cam))
+    states = batched_tracker_state(model, 1)
+    states = states._replace(body=states.body._replace(
+        pose=jnp.asarray(bank[start])[None]))
+    run = jax.jit(lambda s, d: batched_update(s, model, None, d, cam, config,
+                                              params)[0])
+    devs = []
+    for f in range(F):
+        d = render(jnp.asarray(bank[start + f]))
+        states = run(states, d[None])
+        mine = np.asarray(states.body.pose[0])
+        devs.append(float(np.linalg.norm(
+            mine[:, :3] - refp[f, :, :3], axis=1).mean()))
+    backend = jax.devices()[0].platform
+    _write("dyntrack_kernel", {
+        "protocol": f"30-frame dyntrack golden, solver=kernel compiled, "
+                    f"backend={backend}, shipped defaults "
+                    f"(budget {config.point_budget}, cap "
+                    f"{config.cloud_rows_per_body})",
+        "per_frame_dev_mm": [round(d * 1000, 3) for d in devs],
+        "max_dev_mm": round(max(devs) * 1000, 3),
+        "mean_dev_mm": round(sum(devs) / len(devs) * 1000, 3),
+    }, "ROUND=%s python tools/eval_artifacts.py dyntrack" % ROUND)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["coldstart", "fastdrift", "dyntrack"]
+    for w in which:
+        {"coldstart": coldstart, "fastdrift": fastdrift,
+         "dyntrack": dyntrack}[w]()

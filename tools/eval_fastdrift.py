@@ -40,6 +40,7 @@ def main():
     ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--pallas", type=int, default=1)
     ap.add_argument("--tracks", type=int, default=64)
+    ap.add_argument("--json", default="", help="write a summary artifact")
     args = ap.parse_args()
 
     model = jtu.tree_map(jnp.asarray, load_hand_model(DEFAULT_MODEL_JSON))
@@ -97,6 +98,28 @@ def main():
     print(f"per-track final: median ours {np.median(mine)*1000:.2f} "
           f"ref {np.median(rf)*1000:.2f}; "
           f"diverged(>40mm) ours {(mine>0.04).sum()} ref {(rf>0.04).sum()}")
+    if args.json:
+        import jax as _jax
+        payload = {
+            "round": os.environ.get("EVAL_ROUND", ""),
+            "protocol": f"{T} tracks x {F} frames dynamics-only, "
+                        f"solver={args.solver} cap={args.cap} "
+                        f"budget={args.budget} (GG_FASTDRIFT protocol)",
+            "backend": _jax.devices()[0].platform,
+            "final_mean_mm": round(float(err[-1].mean() * 1000), 2),
+            "ref_final_mean_mm": round(float(rm[-1] * 1000), 2),
+            "ratio": round(float(err[-1].mean() / rm[-1]), 3),
+            "final_median_mm": round(float(np.median(mine) * 1000), 2),
+            "ref_final_median_mm": round(float(np.median(rf) * 1000), 2),
+            "diverged_gt40mm": int((mine > 0.04).sum()),
+            "ref_diverged_gt40mm": int((rf > 0.04).sum()),
+            "mean_err_per_frame_mm": [round(float(e * 1000), 2)
+                                      for e in err.mean(-1)],
+            "command": " ".join(["python"] + sys.argv),
+        }
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print("wrote", args.json)
 
 
 if __name__ == "__main__":

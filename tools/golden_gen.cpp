@@ -310,9 +310,13 @@ int main(int argc, char **argv) {
         for (size_t i = 0; i < errs.size(); i++)
             o << (i ? "," : "") << errs[i];
         o << "]\n}\n";
-        std::ofstream f(outdir + "/cnntrack_ref.json");
+        // GG_TAG names the output (k/recording variants); default keeps
+        // the original fixture name
+        std::string tag = getenv("GG_TAG") ? getenv("GG_TAG") : "";
+        std::string fn = outdir + "/cnntrack_ref" + tag + ".json";
+        std::ofstream f(fn);
         f << o.str();
-        printf("wrote %s/cnntrack_ref.json\n", outdir.c_str());
+        printf("wrote %s\n", fn.c_str());
         return 0;
     }
 
