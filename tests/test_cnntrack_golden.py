@@ -67,3 +67,76 @@ def test_cnn_cadence_recorded_parity(hand_model):
     # tracking quality parity over the sequence, not just boundedness
     assert np.mean(jes) < np.mean(ref_je) + 1.5e-3
     assert np.mean(devs) < 2.0e-3
+
+
+# ---------------------------------------------------------------------------
+# Round 4 (VERDICT r3 item 6): the cadence matrix — k in {1, 4, 8} over two
+# recordings.  cnntrack_rec2 is 128 real-speed frames spanning the ~630-670
+# fast segment, so the accept/reject branch re-acquires repeatedly; in those
+# drift regimes both trackers roam chaotically, so the gates switch from
+# trajectory-deviation bounds to joint-error-parity bounds (same style as
+# test_bench_parity's fastdrift gates).
+#
+# Calibrated on CPU/colored (dev max / je ratio vs the C++ reference):
+#   rec  k=1: 1.32 mm / 0.95    rec  k=8: 1.35 mm / 1.00
+#   rec2 k=1: 1.88 mm / 1.22 (64f)
+#   rec2 k=4: 27.8 mm / 1.12 (drift-chaotic)   rec2 k=8: 7.6 mm / 1.00
+# ---------------------------------------------------------------------------
+
+_CADENCE_CASES = [
+    # (rec, ref json, frames, per-frame dev gate, per-frame je slack,
+    #  mean-je ratio gate, mean-je slack, mean-dev gate)
+    ("cnntrack_rec", "cnntrack_ref_k1", 16, 3.0e-3, 3e-3, 1.15, 1.0e-3, 2e-3),
+    ("cnntrack_rec", "cnntrack_ref_k8", 32, 3.5e-3, 3e-3, 1.15, 1.0e-3, 2e-3),
+    ("cnntrack_rec2", "cnntrack_ref2_k1", 64, 4.5e-3, 4e-3, 1.45, 1.0e-3,
+     2.5e-3),
+    ("cnntrack_rec2", "cnntrack_ref2_k4", 128, None, 30e-3, 1.30, 2.0e-3,
+     12e-3),
+    ("cnntrack_rec2", "cnntrack_ref2_k8", 128, 14e-3, 8e-3, 1.15, 2.0e-3,
+     5e-3),
+]
+
+
+@pytest.mark.parametrize("rec,refname,F,devgate,jeslack,ratio,meanslack,"
+                         "meandev",
+                         _CADENCE_CASES,
+                         ids=[c[1] for c in _CADENCE_CASES])
+def test_cnn_cadence_matrix(hand_model, rec, refname, F, devgate, jeslack,
+                            ratio, meanslack, meandev):
+    if not os.path.exists(DEFAULT_CNNB):
+        pytest.skip("trained weights not present")
+    ds = load_dataset(os.path.join(FIXTURES, rec))
+    ref = json.load(open(os.path.join(FIXTURES, refname + ".json")))
+    k = ref["k"]
+    F = min(F, ref["n_frames"])
+    refp = np.array(ref["cnntrack_poses"], np.float32).reshape(
+        ref["n_frames"], 17, 7)
+    ref_je = np.array(ref["cnntrack_joint_err"])
+    cam = ds.info.camera()
+    cnn = load_cnnb(DEFAULT_CNNB)
+    config = TrackerConfig(cnn_every_frame=True, cnn_every_k=k,
+                           solver="colored")
+    params = physics_params(config)
+    states = batched_tracker_state(hand_model, 1)
+    depths = jnp.asarray(ds.depth)[:, None]
+    step_cnn = jax.jit(lambda s, d: batched_update(
+        s, hand_model, cnn, d, cam, config, params, run_cnn=True)[0])
+    step_dyn = jax.jit(lambda s, d: batched_update(
+        s, hand_model, cnn, d, cam, config, params, run_cnn=False)[0])
+    devs, jes = [], []
+    for f in range(F):
+        states = (step_cnn if f % k == 0 else step_dyn)(states, depths[f])
+        mine = np.asarray(states.body.pose[0])
+        dev = np.linalg.norm(mine[:, :3] - refp[f, :, :3], axis=1).mean()
+        je = np.linalg.norm(mine[:, :3] - ds.pose[f][:, :3], axis=1).mean()
+        devs.append(dev)
+        jes.append(je)
+        if devgate is not None:
+            assert dev < devgate, (
+                f"frame {f}: {dev*1000:.2f}mm off the reference trajectory")
+        assert je < ref_je[f] + jeslack, (
+            f"frame {f}: joint err {je*1000:.2f}mm vs ref "
+            f"{ref_je[f]*1000:.2f}mm")
+    rj = ref_je[:F]
+    assert np.mean(jes) < np.mean(rj) * ratio + meanslack
+    assert np.mean(devs) < meandev

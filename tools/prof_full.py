@@ -185,6 +185,23 @@ def main():
         import dataclasses
         msim_with(dataclasses.replace(config, steps=1), "msim_s1(+pro)")
 
+    if on("msim_s1_nocol"):
+        import dataclasses
+        msim_with(dataclasses.replace(config, steps=1,
+                                      physics_use_collision=0),
+                  "msim_s1_nocol")
+
+    if on("msim_s1_nocloud"):
+        import dataclasses
+        msim_with(dataclasses.replace(config, steps=1, steps_cloudstart=99),
+                  "msim_s1_nocld")
+
+    if on("msim_s1_i21"):
+        import dataclasses
+        msim_with(dataclasses.replace(config, steps=1, physics_iterations=2,
+                                      physics_iterations_post=1),
+                  "msim_s1_i21")
+
     if on("msim"):
         def ms(states, depth):
             def one(s, d):
