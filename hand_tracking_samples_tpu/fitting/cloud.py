@@ -211,13 +211,19 @@ def scale_cloud_forces(rows: LinearRows, per_row_scale) -> LinearRows:
 
 
 def fit_error(state: BodyState, model, points, point_mask, depth, depth_cam,
-              bone_sum_error_scale: float = 4.0, use_kernel: bool = False):
+              bone_sum_error_scale: float = 4.0, use_kernel: bool = False,
+              points_ph=None):
     """handtrack.h:369-399 FitError.  The correspondence is vals-only (no
     plane gather / ray-clip reductions); use_kernel runs it in VMEM
     (ops.cloud_rows.cloud_vals — the XLA hull contraction is a K=4 matmul
-    the MXU pads to a 128-deep pass)."""
+    the MXU pads to a 128-deep pass).  points_ph: the (8, N) planes carrier
+    (mask in row 4) — preferred on the kernel path (no (N, 3) relayout)."""
     B = model.planes.shape[0]
-    if use_kernel:
+    if use_kernel and points_ph is not None:
+        from ..ops.cloud_rows import cloud_vals_ph
+        body, val = cloud_vals_ph(state, model, points_ph)
+        point_mask = points_ph[4] > 0.5
+    elif use_kernel:
         from ..ops.cloud_rows import cloud_vals
         body, val = cloud_vals(state, model, points, point_mask)
     else:

@@ -269,6 +269,40 @@ def compact_points(points, mask, budget: int):
     return pts, msk
 
 
+def cloud_from_depth_planes(depth, cam: DCamera, range_lo, range_hi,
+                            frac: int, budget: int):
+    """cloud_from_depth in the channel-major planes carrier: ph (8, budget)
+    f32 with rows [x, y, z, 1, mask, 0, 0, 0].  On TPU this is the kernel's
+    NATIVE output layout (slots on lanes) — the (N, 3) contract pays a
+    minor-dim-3 relayout copy at every producer/consumer boundary, planes
+    never do.  Values are bit-identical to cloud_from_depth."""
+    if (jax.default_backend() == "tpu" and budget % 8 == 0
+            and (depth.shape[0] * depth.shape[1]) % 128 == 0):
+        from ..ops.cloud_kernel import cloud_from_depth_planes as k
+        return k(depth, cam, range_lo, range_hi, frac, budget)
+    pts, ok = cloud_from_depth(depth, cam, range_lo, range_hi, frac, budget)
+    from ..ops.cloud_rows import points_planes
+    return points_planes(pts, ok)
+
+
+def compact_planes(ph, keep, budget: int):
+    """compact_points on the planes carrier: kept lanes (keep (N,) bool) are
+    packed to the front of a (8, budget) planes block in original order,
+    mask row = slot validity, empty slots zero.  The pack is ONE one-hot
+    f32 matmul (single-term sums — exact); identical valid entries to
+    compact_points(points, keep, budget)."""
+    N = ph.shape[1]
+    cum = jnp.cumsum(keep.astype(jnp.int32))
+    rank = cum - 1                                         # dest slot
+    ohr = ((rank[:, None] == jnp.arange(budget, dtype=jnp.int32)[None, :])
+           & keep[:, None]).astype(jnp.float32)            # (N, budget)
+    src = ph.at[4].set(keep.astype(jnp.float32))
+    return jax.lax.dot_general(
+        src, ohr, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)               # (8, budget)
+
+
 def cloud_from_depth(depth, cam: DCamera, range_lo, range_hi, frac: int,
                      budget: int):
     """Fused PointCloud + takesubsample + compaction: bit-identical to

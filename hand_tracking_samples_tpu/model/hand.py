@@ -76,7 +76,8 @@ def fit_point_cloud(state: BodyState, model, params: PhysicsParams,
                     contacts_fn=None, schedule=None, single_blocks=None,
                     angular_pair_blocks=None, cloud_slots: int = 128,
                     use_kernel: bool = False, pgs_plan=None,
-                    extra_ang_class_rows=None, fused_inputs=None) -> BodyState:
+                    extra_ang_class_rows=None, fused_inputs=None,
+                    points_ph=None) -> BodyState:
     """FitPointCloud (physmodel.h:345-356).
 
     Row order matches the reference: [caller linears][cloud rows][joint
@@ -96,13 +97,13 @@ def fit_point_cloud(state: BodyState, model, params: PhysicsParams,
         return _fit_point_cloud_fused(
             state, model, params, points, point_mask, microforce, origin,
             iterations, iterations_post, pgs_plan, single_blocks or [],
-            cloud_slots, use_kernel, fused_inputs)
+            cloud_slots, use_kernel, fused_inputs, points_ph)
     if pgs_plan is not None:
         return _fit_point_cloud_pgs(
             state, model, params, points, point_mask, microforce, origin,
             rangemin, rangemax, iterations, iterations_post,
             contacts_fn is not None, pgs_plan, single_blocks or [],
-            extra_ang_class_rows or [], cloud_slots, use_kernel)
+            extra_ang_class_rows or [], cloud_slots, use_kernel, points_ph)
     if schedule is not None:
         return _fit_point_cloud_colored(
             state, model, params, points, point_mask, microforce, origin,
@@ -171,7 +172,7 @@ def _fit_point_cloud_colored(state, model, params, points, point_mask,
 def _fit_point_cloud_fused(state, model, params, points, point_mask,
                            microforce, origin, iterations, iterations_post,
                            plan, single_blocks, cloud_slots, use_kernel,
-                           fused_inputs):
+                           fused_inputs, points_ph=None):
     """Kernel path via the fused tracks-last row pipeline
     (physics/fused_fit.py): same row schedule, factories computed in the
     solve's native planes layout under vmap."""
@@ -182,7 +183,15 @@ def _fit_point_cloud_fused(state, model, params, points, point_mask,
 
     B = state.pose.shape[0]
     sb = list(single_blocks)
-    if points.shape[0] > 0:
+    if use_kernel and points_ph is not None:
+        from ..ops.cloud_rows import cloud_rows_packed_ph
+        scale_b = jnp.where(jnp.arange(B) <= 2, PHYSICS_WEAK_FORCE,
+                            1.0) * microforce
+        o = jnp.zeros(3, jnp.float32) if origin is None else origin
+        blk, _ = cloud_rows_packed_ph(state, model, points_ph, o,
+                                      scale_b, cloud_slots)
+        sb.append(blk)
+    elif points.shape[0] > 0:
         if use_kernel:
             from ..ops.cloud_rows import cloud_rows_packed
             scale_b = jnp.where(jnp.arange(B) <= 2, PHYSICS_WEAK_FORCE,
@@ -213,14 +222,22 @@ def _fit_point_cloud_pgs(state, model, params, points, point_mask,
                          microforce, origin, rangemin, rangemax,
                          iterations, iterations_post, use_contacts,
                          plan, single_blocks, extra_ang_class_rows,
-                         cloud_slots, use_kernel=False):
+                         cloud_slots, use_kernel=False, points_ph=None):
     from ..physics.colored import SingleBodyLinear, pack_single_body_linear
     from ..physics.contacts import contact_rows
     from ..physics.pgs_kernel import physics_update_pgs
 
     B = state.pose.shape[0]
     sb = list(single_blocks)
-    if points.shape[0] > 0:
+    if use_kernel and points_ph is not None:
+        from ..ops.cloud_rows import cloud_rows_packed_ph
+        scale_b = jnp.where(jnp.arange(B) <= 2, PHYSICS_WEAK_FORCE,
+                            1.0) * microforce
+        o = jnp.zeros(3, jnp.float32) if origin is None else origin
+        blk, _ = cloud_rows_packed_ph(state, model, points_ph, o,
+                                      scale_b, cloud_slots)
+        sb.append(blk)
+    elif points.shape[0] > 0:
         if use_kernel:
             from ..ops.cloud_rows import cloud_rows_packed
             scale_b = jnp.where(jnp.arange(B) <= 2, PHYSICS_WEAK_FORCE,

@@ -26,6 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
     KW = -(-128 // max(frac, 1))     # max kept per row (every frac-th valid)
     KW = min(128, -(-KW // 8) * 8)   # sublane-aligned payload width
+    pow2 = frac > 0 and (frac & (frac - 1)) == 0
 
     def kernel(draw_ref, scal_ref, out_ref):
         lo = scal_ref[0]
@@ -64,9 +65,20 @@ def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
         row_base = row_cumsum_excl(c_in[:, 127:128])
         rank = row_base + c_in - 1.0
         kept = v & (jnp.floor(rank * (1.0 / frac)) * frac == rank)
-        k_in = lane_cumsum(kept)                           # (Rp, 128)
-        krow = k_in[:, 127:128]                            # (Rp, 1)
-        kbase = row_cumsum_excl(krow)                      # (Rp, 1)
+        if pow2:
+            # kept ranks are exactly the multiples of frac (the reciprocal-
+            # multiply floor is exact for power-of-two frac), so the kept
+            # counts are pure arithmetic on the VALID cumsum — no second
+            # lane-cumsum matmul and no second log-roll row scan:
+            #   #kept with rank < X  =  ceil(X / frac)
+            inv = 1.0 / frac
+            kbase = jnp.floor((row_base + (frac - 1.0)) * inv)   # (Rp, 1)
+            k_in = jnp.floor((row_base + c_in + (frac - 1.0)) * inv) - kbase
+            krow = k_in[:, 127:128]                        # (Rp, 1)
+        else:
+            k_in = lane_cumsum(kept)                       # (Rp, 128)
+            krow = k_in[:, 127:128]                        # (Rp, 1)
+            kbase = row_cumsum_excl(krow)                  # (Rp, 1)
         total = jnp.max(kbase + krow)
 
         # ---- per-row LEFT-COMPACTION of the kept points to KW lanes ----
@@ -80,32 +92,35 @@ def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
         # increasing).  7 roll+select stages replace the (Rp, 3*128)-wide
         # slot-pick payload with a (Rp, KW)-wide one.
         iota_l128 = jax.lax.broadcasted_iota(jnp.int32, (Rp, 128), 1)
-        keep_i = kept.astype(jnp.int32)
-        sh = jnp.where(kept, iota_l128 - (k_in.astype(jnp.int32) - 1), 0)
-        cz = jnp.where(kept, draw, 0.0)                    # carried value
-        cl = jnp.where(kept, iota_l128, 0)                 # carried lane idx
+        # carriers packed two-wide: cv = draw*128 + lane (raw u16 depth and a
+        # 7-bit lane index — <= 2^23-1, f32-exact), and the shift with the
+        # kept flag encoded as sh >= 0 (dead lanes carry -1).  Halves the
+        # per-stage rolls/selects vs separate (cz, cl, keep, sh) carriers.
+        sh = jnp.where(kept,
+                       iota_l128 - (k_in.astype(jnp.int32) - 1), -1)
+        cv = jnp.where(kept, draw * 128.0 + iota_l128.astype(jnp.float32),
+                       0.0)
         b = 1
         while b < 128:
             inc_sh = pltpu.roll(sh, 128 - b, axis=1)
-            inc_valid = pltpu.roll(keep_i, 128 - b, axis=1)
-            move_in = ((inc_valid > 0) & ((inc_sh & b) != 0)
+            move_in = ((inc_sh >= 0) & ((inc_sh & b) != 0)
                        & (iota_l128 <= 127 - b))
-            stay = (keep_i > 0) & ((sh & b) == 0)
-            cz = jnp.where(move_in, pltpu.roll(cz, 128 - b, axis=1),
-                           jnp.where(stay, cz, 0.0))
-            cl = jnp.where(move_in, pltpu.roll(cl, 128 - b, axis=1),
-                           jnp.where(stay, cl, 0))
-            keep_new = jnp.where(move_in, 1, jnp.where(stay, keep_i, 0))
-            sh = jnp.where(move_in, inc_sh - b, jnp.where(stay, sh, 0))
-            keep_i = keep_new
+            stay = (sh >= 0) & ((sh & b) == 0)
+            cv = jnp.where(move_in, pltpu.roll(cv, 128 - b, axis=1),
+                           jnp.where(stay, cv, 0.0))
+            sh = jnp.where(move_in, inc_sh - b, jnp.where(stay, sh, -1))
             b *= 2
-        cz = cz[:, 0:KW]                                   # (Rp, KW)
-        cl = cl[:, 0:KW].astype(jnp.float32)
+        cv = cv[:, 0:KW]                                   # (Rp, KW)
+        cz = jnp.floor(cv * (1.0 / 128.0))                 # raw u16 depth
+        cl = cv - cz * 128.0                               # lane index
 
         # slot -> kept-point index: identity while everything fits; when the
         # kept count exceeds the budget, sample the kept sequence uniformly
         # instead of truncating its tail (matches image_ops.cloud_from_depth
-        # bit-for-bit; s*K < 2^31 so int32 is exact)
+        # bit-for-bit; s*K < 2^31 so int32 is exact).  Everything from here
+        # on is computed in SLOT-ROW layout ((1, S) / (KW, S)) so the kernel
+        # emits channel-major planes with slots on lanes — no (S, small)
+        # minor-dim tensors anywhere.
         Ki = total.astype(jnp.int32)
         iota_s1 = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
         t_s = jnp.where(Ki > S, (iota_s1 * Ki) // S, iota_s1)  # (1, S)
@@ -144,35 +159,33 @@ def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
             [hi8, lo8, cl, kb_hi, kb_lo, row_hi, row_lo],
             axis=1).astype(jnp.bfloat16)                   # (Rp, 3KW+4)
         picked_all = jax.lax.dot_general(
-            oh2, stacked, (((0,), (0,)), ((), ())),
+            stacked, oh2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)           # (S, 3KW+4)
-        hi_rows = picked_all[:, 0:KW]                      # (S, KW)
-        lo_rows = picked_all[:, KW:2 * KW]
-        lane_rows = picked_all[:, 2 * KW:3 * KW]
-        kbase_s = (picked_all[:, 3 * KW:3 * KW + 1] * 256.0
-                   + picked_all[:, 3 * KW + 1:3 * KW + 2])
-        row_s = (picked_all[:, 3 * KW + 2:3 * KW + 3] * 256.0
-                 + picked_all[:, 3 * KW + 3:3 * KW + 4])
+            precision=jax.lax.Precision.DEFAULT)           # (3KW+4, S)
+        hi_rows = picked_all[0:KW]                         # (KW, S)
+        lo_rows = picked_all[KW:2 * KW]
+        lane_rows = picked_all[2 * KW:3 * KW]
+        kbase_s = (picked_all[3 * KW:3 * KW + 1] * 256.0
+                   + picked_all[3 * KW + 1:3 * KW + 2])    # (1, S)
+        row_s = (picked_all[3 * KW + 2:3 * KW + 3] * 256.0
+                 + picked_all[3 * KW + 3:3 * KW + 4])
 
-        iota_sc = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
-        iota_ss = jnp.where(Ki > S, (iota_sc * Ki) // S,
-                            iota_sc).astype(jnp.float32)   # t(s), (S, 1)
-        j = iota_ss - kbase_s                              # (S, 1) in [0,KW)
+        iota_ss = t_s.astype(jnp.float32)                  # t(s), (1, S)
+        j = iota_ss - kbase_s                              # (1, S) in [0,KW)
         iota_k = jax.lax.broadcasted_iota(
-            jnp.int32, (S, KW), 1).astype(jnp.float32)
-        sel = (iota_k == j).astype(jnp.float32)
-        z = (jnp.sum(sel * hi_rows, axis=1, keepdims=True) * 256.0
-             + jnp.sum(sel * lo_rows, axis=1, keepdims=True)) * scale
-        lane = jnp.sum(sel * lane_rows, axis=1, keepdims=True)
-        ok = (iota_ss < total).astype(jnp.float32)
+            jnp.int32, (KW, S), 0).astype(jnp.float32)
+        sel = (iota_k == j).astype(jnp.float32)            # (KW, S)
+        z = (jnp.sum(sel * hi_rows, axis=0, keepdims=True) * 256.0
+             + jnp.sum(sel * lo_rows, axis=0, keepdims=True)) * scale
+        lane = jnp.sum(sel * lane_rows, axis=0, keepdims=True)
+        ok = (iota_ss < total).astype(jnp.float32)         # (1, S)
         flat = row_s * 128.0 + lane
         # true division (exact when the quotient is representable); a
         # reciprocal multiply mis-floors exact multiples of W
         py = jnp.floor(flat / W)
         px = flat - py * W
         out_ref[:] = jnp.concatenate(
-            [px, py, z, ok, jnp.zeros((S, 4), jnp.float32)], axis=1)
+            [px, py, z, ok, jnp.zeros((4, S), jnp.float32)], axis=0)
 
     return kernel
 
@@ -184,7 +197,7 @@ def _cloud_call(draw, scal, R, frac, budget, W):
     kernel = _make_kernel(R, Rp, budget, frac, W)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((budget, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((8, budget), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -194,10 +207,13 @@ def _cloud_call(draw, scal, R, frac, budget, W):
     )(draw, scal)
 
 
-def cloud_from_depth_kernel(depth, cam, range_lo, range_hi, frac: int,
+def cloud_from_depth_planes(depth, cam, range_lo, range_hi, frac: int,
                             budget: int):
-    """Kernel route of imaging.image_ops.cloud_from_depth; same signature,
-    bit-identical output.  Requires (H*W) % 128 == 0."""
+    """Planes route of cloud_from_depth: returns ph (8, budget) f32 with rows
+    [x, y, z, 1, mask, 0, 0, 0] — the channel-major layout every VMEM
+    consumer (ops/cloud_rows.py) reads natively.  Values are bit-identical
+    to cloud_from_depth's points; the (N, 3) contract pays a relayout copy
+    per use on TPU (minor-dim-3 tiles), planes never do."""
     H, W = depth.shape
     assert (H * W) % 128 == 0
     R = (H * W) // 128
@@ -208,7 +224,26 @@ def cloud_from_depth_kernel(depth, cam, range_lo, range_hi, frac: int,
                       jnp.float32(cam.depth_scale),
                       jnp.float32(0), jnp.float32(0), jnp.float32(0),
                       jnp.float32(0), jnp.float32(0)])
-    out = _cloud_call(draw, scal, R, frac, budget, W)
-    px, py, z, ok = out[:, 0], out[:, 1], out[:, 2], out[:, 3] > 0.5
-    pts = cam.deprojectz(jnp.stack([px, py], -1), z)
-    return pts, ok
+    out = _cloud_call(draw, scal, R, frac, budget, W)     # (8, S) rows
+    px, py, z, okf = out[0:1], out[1:2], out[2:3], out[3:4]
+    # deprojectz row-wise — the same elementwise op sequence as
+    # DCamera.deprojectz, so values match the (N, 2)-shaped call bit-for-bit
+    x = (px - cam.principal[0]) / cam.focal[0] * z
+    y = (py - cam.principal[1]) / cam.focal[1] * z
+    return jnp.concatenate(
+        [x, y, z, jnp.ones_like(x), okf,
+         jnp.zeros((3, out.shape[1]), jnp.float32)], axis=0)
+
+
+def planes_points(ph):
+    """ph (8, N) -> (points (N, 3), mask (N,)) for the (N, 3) consumers."""
+    return jnp.stack([ph[0], ph[1], ph[2]], axis=-1), ph[4] > 0.5
+
+
+def cloud_from_depth_kernel(depth, cam, range_lo, range_hi, frac: int,
+                            budget: int):
+    """Kernel route of imaging.image_ops.cloud_from_depth; same signature,
+    bit-identical output.  Requires (H*W) % 128 == 0."""
+    ph = cloud_from_depth_planes(depth, cam, range_lo, range_hi, frac,
+                                 budget)
+    return planes_points(ph)

@@ -273,22 +273,35 @@ def _cloud_rows_unpacked_call(pts_h, planes_w, d0, body_sc, misc, directed,
     return vals
 
 
-def _kernel_inputs(state, model, points, point_mask, origin):
+def _kernel_inputs_ph(state, model, pts_h, origin):
+    """Shared prep with the point planes ph (8, N) [x, y, z, 1, mask, ...]
+    already in the kernel's native layout (no (N, 3) relayout)."""
     from .correspondence import world_planes
     B = model.planes.shape[0]
-    N = points.shape[0]
     planes_w = world_planes(state.pose, model)            # (B, P, 8)
     d0 = (jnp.einsum("bpk,k->bp", planes_w[..., :3], origin)
           + planes_w[..., 3])
     d0 = jnp.where(model.plane_mask, d0, -1.0)[..., None]  # (B, P, 1)
     d0 = jnp.broadcast_to(d0, d0.shape[:2] + (8,))
-    pts_h = jnp.zeros((8, N), jnp.float32)
-    pts_h = (pts_h.at[0:3].set(points.T).at[3].set(1.0)
-             .at[4].set(point_mask.astype(jnp.float32)))
     body_sc = jnp.zeros((BP, 8), jnp.float32)
     body_sc = (body_sc.at[:B, 0:3].set(state.pose[:, :3])
                .at[:B, 3].set(model.radius_inner))
     misc = jnp.zeros((8, 8), jnp.float32).at[0, 0:3].set(origin)
+    return planes_w, d0, body_sc, misc
+
+
+def points_planes(points, point_mask):
+    """(N, 3) points + mask -> the ph (8, N) planes carrier."""
+    N = points.shape[0]
+    pts_h = jnp.zeros((8, N), jnp.float32)
+    return (pts_h.at[0:3].set(points.T).at[3].set(1.0)
+            .at[4].set(point_mask.astype(jnp.float32)))
+
+
+def _kernel_inputs(state, model, points, point_mask, origin):
+    pts_h = points_planes(points, point_mask)
+    planes_w, d0, body_sc, misc = _kernel_inputs_ph(state, model, pts_h,
+                                                    origin)
     return planes_w, d0, pts_h, body_sc, misc
 
 
@@ -296,8 +309,13 @@ def cloud_vals(state, model, points, point_mask):
     """Winner (body, value) per point, in VMEM (FitError's correspondence,
     handtrack.h:372-383).  Same winner-scan semantics as cloud_rows_packed;
     sphere value is |p-pos|-r (equal to the plane form up to rounding)."""
-    planes_w, d0, pts_h, body_sc, misc = _kernel_inputs(
-        state, model, points, point_mask, jnp.zeros(3, jnp.float32))
+    return cloud_vals_ph(state, model, points_planes(points, point_mask))
+
+
+def cloud_vals_ph(state, model, pts_h):
+    """cloud_vals on the planes carrier ph (8, N) (mask = row 4)."""
+    planes_w, d0, body_sc, misc = _kernel_inputs_ph(
+        state, model, pts_h, jnp.zeros(3, jnp.float32))
     vals = _cloud_rows_unpacked_call(pts_h, planes_w, d0, body_sc, misc,
                                      False, vals_only=True)
     return vals[1].astype(jnp.int32), vals[0]
@@ -336,11 +354,19 @@ def cloud_rows_packed(state, model, points, point_mask, origin,
     the per-body count of rows lost to the slot cap (reference semantics has
     no cap, physmodel.h:163-181 — observability per VERDICT r1 item 10).
     """
+    return cloud_rows_packed_ph(state, model,
+                                points_planes(points, point_mask), origin,
+                                scale_per_body, slots, directed)
+
+
+def cloud_rows_packed_ph(state, model, pts_h, origin, scale_per_body,
+                         slots: int, directed: bool = True):
+    """cloud_rows_packed on the planes carrier ph (8, N) (mask = row 4)."""
     from ..physics.colored import SingleBodyLinear
 
     B = model.planes.shape[0]
-    planes_w, d0, pts_h, body_sc, misc = _kernel_inputs(
-        state, model, points, point_mask, origin)
+    planes_w, d0, body_sc, misc = _kernel_inputs_ph(
+        state, model, pts_h, origin)
     body_sc = body_sc.at[:B, 4].set(jnp.broadcast_to(scale_per_body, (B,)))
 
     packed, counts = _cloud_rows_call(pts_h, planes_w, d0, body_sc, misc,

@@ -244,6 +244,14 @@ def _fused_batched(plan, iterations, iterations_post, mode, drive_force,
                   for ch, cls in zip(lin_chans, plan.lin_classes)]
     ang_planes = [rp.phase_planes_t(ch, cls, Tp)
                   for ch, cls in zip(ang_chans, plan.ang_classes)]
+    import os
+    if os.environ.get("HTS_ZERO_PLANES"):
+        # perf-experiment ONLY (mirrors pgs_kernel._solve_batched): zero the
+        # pair-row planes with a cheap pose-dependent scalar so XLA drops the
+        # factories AND prep — attributes their cost by subtraction
+        z = state.pose[0, 0, 0] * 0.0
+        lin_planes = [jnp.broadcast_to(z, x.shape) for x in lin_planes]
+        ang_planes = [jnp.broadcast_to(z, x.shape) for x in ang_planes]
     lin_G = [jnp.asarray(c.gather) for c in plan.lin_classes]
     lin_S = [jnp.asarray(c.scatter) for c in plan.lin_classes]
     ang_G = [jnp.asarray(c.gather) for c in plan.ang_classes]

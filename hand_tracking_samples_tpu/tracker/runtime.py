@@ -302,12 +302,15 @@ def unibody_fit(body: BodyState, model, params, points, point_mask,
 
 def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
                    points, point_mask, camera_pose, config: TrackerConfig,
-                   params, schedule=None) -> BodyState:
+                   params, schedule=None, points_ph=None) -> BodyState:
     colored = schedule is not None
     kernel = config.solver == "kernel"
     fused = kernel and _use_fused()
+    use_ph = kernel and config.use_pallas and points_ph is not None
     bp = body_params(model)
     body = sanity_check(body, bp)
+    if use_ph:
+        point_mask = points_ph[4] > 0.5
     npts = jnp.maximum(point_mask.sum(), 1)
     cloudforce = jnp.minimum(config.cloudforce_max_point,
                              config.cloudforce_max_sum / npts)
@@ -320,9 +323,16 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
     # exceeds this, so nothing is dropped.  Loop-invariant (poses don't
     # change the cloud) — computed once.
     vsub = point_mask & ((jnp.cumsum(point_mask) - 1) % 4 == 0)
-    q = -(-points.shape[0] // 4)                  # ceil(budget / 4)
+    N_in = points_ph.shape[1] if use_ph else points.shape[0]
+    q = -(-N_in // 4)                             # ceil(budget / 4)
     msub_budget = max(-(-q // 128) * 128, 128)    # lane-aligned
-    mpts_all, mmask_all = compact_points(points, vsub, msub_budget)
+    if use_ph:
+        from ..imaging.image_ops import compact_planes
+        mph_all = compact_planes(points_ph, vsub, msub_budget)
+        mpts_all = mmask_all = None
+    else:
+        mph_all = None
+        mpts_all, mmask_all = compact_points(points, vsub, msub_budget)
 
     for s in range(config.steps):
         angulars = []
@@ -367,7 +377,15 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
         has_cloud = config.steps_cloudstart <= s and not config.angles_only
         if has_cloud:
             mpts, mmask = mpts_all, mmask_all
-            if kernel and config.use_pallas:
+            if use_ph:
+                from ..ops.cloud_rows import cloud_rows_packed_ph
+                scale_b = cloudforce * jnp.where(
+                    jnp.arange(body.pose.shape[0]) == 0, 0.1, 1.0)
+                blk, _ = cloud_rows_packed_ph(body, model, mph_all,
+                                              camera_pose[:3], scale_b,
+                                              config.cloud_rows_per_body)
+                single_blocks.append(blk)
+            elif kernel and config.use_pallas:
                 from ..ops.cloud_rows import cloud_rows_packed
                 scale_b = cloudforce * jnp.where(
                     jnp.arange(body.pose.shape[0]) == 0, 0.1, 1.0)
@@ -455,10 +473,13 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
 _RESET_ENTRIES: dict = {}
 
 
-def _get_reset_entry(config: TrackerConfig):
+def _get_reset_entry(config: TrackerConfig, use_ph: bool = False):
+    """use_ph: `points` is the (8, N) planes carrier; it is converted to
+    (N, 3) INSIDE the reset branch, so the steady-state any-pred skip also
+    skips the relayout."""
     key = (config.steps_unibody, config.unibody_force,
            config.physics_iterations, config.physics_iterations_post,
-           config.use_pallas)
+           config.use_pallas, use_ph)
     if key in _RESET_ENTRIES:
         return _RESET_ENTRIES[key]
 
@@ -466,6 +487,9 @@ def _get_reset_entry(config: TrackerConfig):
 
     def _reset(body, model, analysis, points, point_mask, camera_pose,
                params):
+        if use_ph:
+            from ..ops.cloud_kernel import planes_points
+            points, point_mask = planes_points(points)
         b = pose_from_scratch(body, model, analysis, points, point_mask,
                               camera_pose)
         for _ in range(key[0]):
@@ -530,7 +554,9 @@ def _get_reset_entry(config: TrackerConfig):
 def _cnn_frame_inputs(cnn_params, depth, cam: DCamera, config: TrackerConfig,
                       cloud=None):
     """Shared CNN-frame prologue: segment, net forward, decode, cloud.
-    Returns (seg, analysis, cnn_input, cnn_output, vpts, vmask)."""
+    Returns (seg, analysis, cnn_input, cnn_output, vpts, vmask).  On the
+    kernel path vpts is the (8, N) planes carrier ph (vmask = its row 4);
+    otherwise (N, 3) points."""
     drange = (0.1, config.drangey)
     seg = hand_segment_vr(depth, cam, 0xF, drange, config.segment_scale)
     hcam = seg.cam.sub(4)
@@ -540,6 +566,12 @@ def _cnn_frame_inputs(cnn_params, depth, cam: DCamera, config: TrackerConfig,
 
     if cloud is not None:
         vpts, vmask = cloud
+    elif _planes_path(config):
+        from ..imaging.image_ops import cloud_from_depth_planes
+        vpts = cloud_from_depth_planes(depth, cam, drange[0], drange[1],
+                                       config.subsample_fraction,
+                                       config.point_budget)
+        vmask = vpts[4] > 0.5
     else:
         from ..imaging.image_ops import cloud_from_depth
         vpts, vmask = cloud_from_depth(depth, cam, drange[0], drange[1],
@@ -552,6 +584,14 @@ def _cnn_frame_inputs(cnn_params, depth, cam: DCamera, config: TrackerConfig,
     return seg, analysis, cnn_input, cnn_output, vpts, vmask
 
 
+def _planes_path(config: TrackerConfig) -> bool:
+    """The cloud rides the (8, N) planes carrier end-to-end on the fused
+    kernel path (no (N, 3) relayouts); mirror/voxel variants and the
+    reference-shaped solvers keep the (N, 3) contract."""
+    return (config.solver == "kernel" and config.use_pallas
+            and not config.subsample_voxel and not config.mirror_plane)
+
+
 @_full_precision
 def update_cnn_model(state: TrackerState, model, cnn_params, depth,
                      cam: DCamera, config: TrackerConfig, params,
@@ -562,19 +602,22 @@ def update_cnn_model(state: TrackerState, model, cnn_params, depth,
     (update() passes its own — avoids building the cloud twice per frame)."""
     seg, analysis, cnn_input, cnn_output, vpts, vmask = _cnn_frame_inputs(
         cnn_params, depth, cam, config, cloud)
+    use_ph = _planes_path(config) and vpts.ndim == 2 and vpts.shape[0] == 8
+    vph = vpts if use_ph else None
 
     olderror = fit_error(state.body, model, vpts, vmask, depth, cam,
                          config.bone_sum_error_scale,
-                         use_kernel=config.use_pallas)
+                         use_kernel=config.use_pallas, points_ph=vph)
 
     do_reset = jnp.asarray(config.angles_only) | (olderror > config.full_reset_on_error)
-    other = _get_reset_entry(config)(do_reset, state.body, model, analysis,
-                                     vpts, vmask, seg.cam.pose, params)
+    other = _get_reset_entry(config, use_ph)(do_reset, state.body, model,
+                                             analysis, vpts, vmask,
+                                             seg.cam.pose, params)
     other = multi_step_sim(other, model, analysis, vpts, vmask, seg.cam.pose,
-                           config, params, schedule=schedule)
+                           config, params, schedule=schedule, points_ph=vph)
     newerror = fit_error(other, model, vpts, vmask, depth, cam,
                          config.bone_sum_error_scale,
-                         use_kernel=config.use_pallas)
+                         use_kernel=config.use_pallas, points_ph=vph)
 
     prev = jnp.where(newerror > olderror, 0.0,
                      state.prev_frame_error + (olderror - newerror))
@@ -626,6 +669,12 @@ def kickstart_multi(state: TrackerState, model, cnn_params, depth,
     n_hyp x one heavy frame, paid only at acquisition."""
     seg, analysis, cnn_input, cnn_output, vpts, vmask = _cnn_frame_inputs(
         cnn_params, depth, cam, config)
+    if _planes_path(config) and vpts.ndim == 2 and vpts.shape[0] == 8:
+        from ..ops.cloud_kernel import planes_points
+        vph = vpts
+        vpts, vmask = planes_points(vph)
+    else:
+        vph = None
 
     def fit_one(flip):
         a = analysis._replace(palmq=qmul(analysis.palmq, flip))
@@ -637,10 +686,10 @@ def kickstart_multi(state: TrackerState, model, cnn_params, depth,
                             config.physics_iterations_post,
                             use_kernel=config.use_pallas)
         b = multi_step_sim(b, model, a, vpts, vmask, seg.cam.pose, config,
-                           params)
+                           params, points_ph=vph)
         err = fit_error(b, model, vpts, vmask, depth, cam,
                         config.bone_sum_error_scale,
-                        use_kernel=config.use_pallas)
+                        use_kernel=config.use_pallas, points_ph=vph)
         # landmark-ray disagreement: the net's feature rays are hypothesis-
         # independent evidence; a wrong-basin fit can match the cloud (low
         # FitError) but puts thumb/finger features on the wrong rays
@@ -693,12 +742,23 @@ def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
                                            if config.boundary_planes else 0)
         plan = build_dynamics_plan(model, cs, config.contacts_mode,
                                    bool(config.physics_use_collision))
+    ph = None
     if config.subsample_voxel:
         pts_all, mask_all = point_cloud(depth, cam, 0.1, config.drangey)
         from ..imaging.image_ops import voxel_subsample
         vp, vm = voxel_subsample(pts_all, mask_all, config.subsample_size,
                                  config.subsample_fraction)
         points, mask = compact_points(vp, vm, config.point_budget)
+    elif _planes_path(config):
+        # the cloud rides the channel-major planes carrier end-to-end; the
+        # (N, 3) view is derived once for the chamber's containing-plane
+        # scan (kept on the reference-shaped path for exact row parity)
+        from ..imaging.image_ops import cloud_from_depth_planes
+        from ..ops.cloud_kernel import planes_points
+        ph = cloud_from_depth_planes(depth, cam, 0.1, config.drangey,
+                                     config.subsample_fraction,
+                                     config.point_budget)
+        points, mask = planes_points(ph)
     else:
         from ..imaging.image_ops import cloud_from_depth
         points, mask = cloud_from_depth(depth, cam, 0.1, config.drangey,
@@ -714,7 +774,8 @@ def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
     if config.cnn_every_frame if run_cnn is None else run_cnn:
         # the heavy pass uses the same cloud_from_depth cloud as this frame's
         # main pass unless the voxel subsampler replaced it
-        cloud = None if config.subsample_voxel else (points, mask)
+        cloud = ((ph, ph[4] > 0.5) if ph is not None else
+                 None if config.subsample_voxel else (points, mask))
         state, dbg = update_cnn_model(state, model, cnn_params, depth, cam,
                                       config, params, schedule=schedule,
                                       cloud=cloud)
@@ -755,7 +816,8 @@ def update(state: TrackerState, model, cnn_params, depth, cam: DCamera,
                 schedule=schedule, single_blocks=single_blocks,
                 cloud_slots=config.cloud_rows_per_body,
                 use_kernel=config.use_pallas, pgs_plan=plan,
-                fused_inputs={"mode": "dyn"} if fused else None)
+                fused_inputs={"mode": "dyn"} if fused else None,
+                points_ph=ph)
 
     initializing = jnp.where(npts < config.min_point_num, 50,
                              state.initializing)

@@ -18,12 +18,14 @@ def test_cloud_kernel_bit_identical(hand_model):
     bank = load_animbank(DEFAULT_ANIMBANK)
     cam = synth_camera()
     render = jax.jit(lambda p: fake_depth(p, hand_model, cam))
-    for i in (0, 123, 977):
+    # frac=4 is the shipped power-of-two path (arithmetic kept-counts);
+    # frac=3 exercises the general two-cumsum fallback
+    for i, frac in ((0, 4), (123, 4), (977, 4), (123, 3)):
         depth = render(jnp.asarray(bank[i]))
         pts_x, ok_x = jax.jit(lambda d: cloud_from_depth(
-            d, cam, 0.1, 0.7, 4, 1024))(depth)
+            d, cam, 0.1, 0.7, frac, 1024))(depth)
         pts_k, ok_k = jax.jit(lambda d: cloud_from_depth_kernel(
-            d, cam, 0.1, 0.7, 4, 1024))(depth)
+            d, cam, 0.1, 0.7, frac, 1024))(depth)
         np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_k))
         m = np.asarray(ok_x)
         np.testing.assert_array_equal(np.asarray(pts_x)[m],

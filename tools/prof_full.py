@@ -152,12 +152,17 @@ def main():
 
     if on("fiterr"):
         from hand_tracking_samples_tpu.fitting.cloud import fit_error
+        from hand_tracking_samples_tpu.imaging.image_ops import (
+            cloud_from_depth_planes)
 
         def fe(states, depth):
             def one(s, d):
-                vp, vm = clouds_of(d)
-                e = fit_error(s.body, model, vp, vm, d, cam,
-                              config.bone_sum_error_scale, use_kernel=True)
+                ph = cloud_from_depth_planes(d, cam, 0.1, config.drangey,
+                                             config.subsample_fraction,
+                                             config.point_budget)
+                e = fit_error(s.body, model, None, None, d, cam,
+                              config.bone_sum_error_scale, use_kernel=True,
+                              points_ph=ph)
                 return s._replace(prev_frame_error=s.prev_frame_error + e)
             return jax.vmap(one)(states, depth)
         timeit("fiterr(+cloud)", scan_stage(fe), states, depths)
@@ -167,10 +172,11 @@ def main():
             def one(s, d):
                 _, a, _, _, vp, vm = rt._cnn_frame_inputs(
                     cnn_params, d, cam, cfg)
+                vph = vp if rt._planes_path(cfg) else None
                 cpose = jnp.concatenate([jnp.zeros(3),
                                          jnp.asarray([0.0, 0, 0, 1])])
                 b = rt.multi_step_sim(s.body, model, a, vp, vm, cpose,
-                                      cfg, params)
+                                      cfg, params, points_ph=vph)
                 return s._replace(body=b)
             return jax.vmap(one)(states, depth)
         timeit(name, scan_stage(ms), states, depths)
@@ -202,15 +208,52 @@ def main():
                                       physics_iterations_post=1),
                   "msim_s1_i21")
 
+    if on("msim_s1_zero"):
+        # steps=1 with the pair-class planes zeroed (HTS_ZERO_PLANES must be
+        # set in the env BEFORE launch): attributes factory+prep cost
+        import dataclasses
+        assert os.environ.get("HTS_ZERO_PLANES"), "set HTS_ZERO_PLANES=1"
+        msim_with(dataclasses.replace(config, steps=1), "msim_s1_zero")
+
+    if on("msim_zero"):
+        assert os.environ.get("HTS_ZERO_PLANES"), "set HTS_ZERO_PLANES=1"
+        msim_with(config, "msim_zero")
+
+    if on("msubrows"):
+        # cloud_rows_packed at the msim subsample budget (the per-step cost)
+        from hand_tracking_samples_tpu.ops.cloud_rows import (
+            cloud_rows_packed_ph)
+        from hand_tracking_samples_tpu.imaging.image_ops import (
+            cloud_from_depth_planes, compact_planes)
+
+        def mr(states, depth):
+            def one(s, d):
+                ph = cloud_from_depth_planes(d, cam, 0.1, config.drangey,
+                                             config.subsample_fraction,
+                                             config.point_budget)
+                vm = ph[4] > 0.5
+                vsub = vm & ((jnp.cumsum(vm) - 1) % 4 == 0)
+                q = -(-ph.shape[1] // 4)
+                msb = max(-(-q // 128) * 128, 128)
+                mph = compact_planes(ph, vsub, msb)
+                blk, _ = cloud_rows_packed_ph(
+                    s.body, model, mph, jnp.zeros(3),
+                    jnp.ones(17), config.cloud_rows_per_body)
+                return s._replace(prev_frame_error=s.prev_frame_error
+                                  + blk.targetdist.sum())
+            return jax.vmap(one)(states, depth)
+        timeit("msubrows(+cld)", scan_stage(mr), states, depths)
+
     if on("msim"):
         def ms(states, depth):
             def one(s, d):
                 _, a, _, _, vp, vm = rt._cnn_frame_inputs(
                     cnn_params, d, cam, config)
+                vph = vp if rt._planes_path(config) else None
                 cpose = jnp.concatenate([jnp.zeros(3),
                                          jnp.asarray([0.0, 0, 0, 1])])
                 b = rt.multi_step_sim(s.body, model, a, vp, vm, cpose,
-                                      config, params)
+                                      config, params, points_ph=vph)
                 return s._replace(body=b)
             return jax.vmap(one)(states, depth)
         timeit("msim(+prologue)", scan_stage(ms), states, depths)
@@ -227,13 +270,18 @@ def main():
         timeit("contacts x1", scan_stage(ct), states, depths)
 
     if on("cloudrows"):
-        from hand_tracking_samples_tpu.ops.cloud_rows import cloud_rows_packed
+        from hand_tracking_samples_tpu.ops.cloud_rows import (
+            cloud_rows_packed_ph)
+        from hand_tracking_samples_tpu.imaging.image_ops import (
+            cloud_from_depth_planes)
 
         def cr(states, depth):
             def one(s, d):
-                vp, vm = clouds_of(d)
-                blk, _ = cloud_rows_packed(
-                    s.body, model, vp, vm, jnp.zeros(3),
+                ph = cloud_from_depth_planes(d, cam, 0.1, config.drangey,
+                                             config.subsample_fraction,
+                                             config.point_budget)
+                blk, _ = cloud_rows_packed_ph(
+                    s.body, model, ph, jnp.zeros(3),
                     jnp.ones(17), config.cloud_rows_per_body)
                 return s._replace(prev_frame_error=s.prev_frame_error
                                   + blk.targetdist.sum())
@@ -241,13 +289,27 @@ def main():
         timeit("cloudrows(+cloud)", scan_stage(cr), states, depths)
 
     if on("cloud"):
+        from hand_tracking_samples_tpu.imaging.image_ops import (
+            cloud_from_depth_planes)
+
         def cl(states, depth):
+            def one(s, d):
+                ph = cloud_from_depth_planes(d, cam, 0.1, config.drangey,
+                                             config.subsample_fraction,
+                                             config.point_budget)
+                return s._replace(prev_frame_error=s.prev_frame_error
+                                  + ph.sum())
+            return jax.vmap(one)(states, depth)
+        timeit("cloud(planes)", scan_stage(cl), states, depths)
+
+    if on("cloud_legacy"):
+        def cl2(states, depth):
             def one(s, d):
                 vp, vm = clouds_of(d)
                 return s._replace(prev_frame_error=s.prev_frame_error
                                   + vp.sum() + vm.sum())
             return jax.vmap(one)(states, depth)
-        timeit("cloud", scan_stage(cl), states, depths)
+        timeit("cloud(N,3)", scan_stage(cl2), states, depths)
 
 
 if __name__ == "__main__":
