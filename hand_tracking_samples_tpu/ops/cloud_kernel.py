@@ -23,17 +23,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
+def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int,
+                 batched: bool = False):
     KW = -(-128 // max(frac, 1))     # max kept per row (every frac-th valid)
     KW = min(128, -(-KW // 8) * 8)   # sublane-aligned payload width
     pow2 = frac > 0 and (frac & (frac - 1)) == 0
 
     def kernel(draw_ref, scal_ref, out_ref):
-        lo = scal_ref[0]
-        hi = scal_ref[1]
-        scale = scal_ref[2]
-
-        draw = draw_ref[:]                                 # (Rp, 128) f32
+        if batched:                  # (1, Rp, 128) blocks; scal whole (T, 8)
+            t = pl.program_id(0)
+            lo = scal_ref[t, 0]
+            hi = scal_ref[t, 1]
+            scale = scal_ref[t, 2]
+            draw = draw_ref[0]
+        else:
+            lo = scal_ref[0]
+            hi = scal_ref[1]
+            scale = scal_ref[2]
+            draw = draw_ref[:]                             # (Rp, 128) f32
         d = draw * scale
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (Rp, 128), 0)
         v = (d >= lo) & (d < hi) & (iota_r < R)            # (Rp, 128)
@@ -184,8 +191,12 @@ def _make_kernel(R: int, Rp: int, S: int, frac: int, W: int):
         # reciprocal multiply mis-floors exact multiples of W
         py = jnp.floor(flat / W)
         px = flat - py * W
-        out_ref[:] = jnp.concatenate(
+        res = jnp.concatenate(
             [px, py, z, ok, jnp.zeros((4, S), jnp.float32)], axis=0)
+        if batched:
+            out_ref[0] = res
+        else:
+            out_ref[:] = res
 
     return kernel
 
@@ -207,6 +218,58 @@ def _cloud_call(draw, scal, R, frac, budget, W):
     )(draw, scal)
 
 
+@functools.partial(jax.jit, static_argnames=("R", "frac", "budget", "W"))
+def _cloud_call_batched(draw, scal, R, frac, budget, W):
+    """draw (T, Rp, 128), scal (T, 8) -> (T, 8, budget).  Explicit parallel
+    grid over tracks: vmap-of-pallas serializes the per-instance DMA against
+    compute (measured 2x the cost of double-buffered parallel semantics)."""
+    from ..physics.pgs_kernel import _interpret
+    T, Rp = draw.shape[0], draw.shape[1]
+    kernel = _make_kernel(R, Rp, budget, frac, W, batched=True)
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        out_shape=jax.ShapeDtypeStruct((T, 8, budget), jnp.float32),
+        in_specs=[pl.BlockSpec((1, Rp, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((1, 8, budget), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(draw, scal)
+
+
+_CLOUD_CV: dict = {}
+
+
+def _get_cloud_cv(R: int, frac: int, budget: int, W: int):
+    key = (R, frac, budget, W)
+    if key in _CLOUD_CV:
+        return _CLOUD_CV[key]
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(draw, scal):
+        return _cloud_call(draw, scal, R, frac, budget, W)
+
+    @f.def_vmap
+    def f_vmap(axis_size, in_batched, draw, scal):
+        T = axis_size
+        db, sb = in_batched
+        if not db:
+            draw = jnp.broadcast_to(draw, (T,) + draw.shape)
+        if not sb:
+            scal = jnp.broadcast_to(scal, (T,) + scal.shape)
+        out = _cloud_call_batched(draw, scal, R, frac, budget, W)
+        return out, True
+
+    _CLOUD_CV[key] = f
+    return f
+
+
 def cloud_from_depth_planes(depth, cam, range_lo, range_hi, frac: int,
                             budget: int):
     """Planes route of cloud_from_depth: returns ph (8, budget) f32 with rows
@@ -224,7 +287,7 @@ def cloud_from_depth_planes(depth, cam, range_lo, range_hi, frac: int,
                       jnp.float32(cam.depth_scale),
                       jnp.float32(0), jnp.float32(0), jnp.float32(0),
                       jnp.float32(0), jnp.float32(0)])
-    out = _cloud_call(draw, scal, R, frac, budget, W)     # (8, S) rows
+    out = _get_cloud_cv(R, frac, budget, W)(draw, scal)   # (8, S) rows
     px, py, z, okf = out[0:1], out[1:2], out[2:3], out[3:4]
     # deprojectz row-wise — the same elementwise op sequence as
     # DCamera.deprojectz, so values match the (N, 2)-shaped call bit-for-bit

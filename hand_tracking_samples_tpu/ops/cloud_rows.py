@@ -20,6 +20,7 @@ planes of one hull would blend normals — measure-zero for fp dots).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -30,30 +31,55 @@ BP = 24          # body slots (17 padded)
 FLT_MAX = 3.4028235e38
 
 
+def _mxu_default() -> bool:
+    return os.environ.get("HTS_CLOUD_MXU_DOTS", "0") == "1"
+
+
+
 def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
-                 vals_only: bool = False):
+                 vals_only: bool = False, mxu_dots: bool = True,
+                 batched: bool = False):
+
     def kernel(pts_ref, planes_ref, d0_ref, body_ref, misc_ref,
                packed_ref, counts_ref=None):
-        pts = pts_ref[:]                                  # (8, N)
+        if batched:          # (1, ...) leading block dim per grid instance
+            pts = pts_ref[0]
+            pw_all = planes_ref[0]
+            d0v = d0_ref[0]
+            body = body_ref[0]
+            misc = misc_ref[0]
+        else:
+            pts = pts_ref[:]                              # (8, N)
+            pw_all = planes_ref[:]                        # (B*P, 8)
+            d0v = d0_ref[:]
+            body = body_ref[:]
+            misc = misc_ref[:]
         N = pts.shape[1]
         p3 = pts[0:3]
         mask = pts[4:5]                                   # (1, N) 0/1
-        # plane dots as 3 broadcast FMAs + offset: a K=8 dot at HIGHEST pays
-        # ~6 full MXU passes over the (B*P, N) output; the elementwise form
-        # is 4 VPU passes and exact f32 (pts[3] == 1.0 rides the d term)
-        pw_all = planes_ref[:]                            # (B*P, 8)
-        dots_all = (pw_all[:, 0:1] * p3[0:1] + pw_all[:, 1:2] * p3[1:2]
-                    + pw_all[:, 2:3] * p3[2:3] + pw_all[:, 3:4])
+        if mxu_dots:
+            # measured SLOWER on v5e (bf16x6 HIGHEST decomposition beats the
+            # 4-pass FMA form only on paper): vals 13.1 -> 23.1 ms/frame at
+            # T=512.  Kept behind HTS_CLOUD_MXU_DOTS=1 as the measured
+            # counter-example; default is the elementwise form below
+            dots_all = jax.lax.dot_general(
+                pw_all[:, 0:4], pts[0:4],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # (B*P, N)
+        else:
+            # exact-f32 FMA fallback (pts[3] == 1.0 rides the d term)
+            dots_all = (pw_all[:, 0:1] * p3[0:1] + pw_all[:, 1:2] * p3[1:2]
+                        + pw_all[:, 2:3] * p3[2:3] + pw_all[:, 3:4])
 
         # hull most-above candidate VALUES per body
         hvals = jnp.concatenate(
             [jnp.max(dots_all[b * P:(b + 1) * P], axis=0, keepdims=True)
              for b in range(B)], axis=0)                  # (B, N)
 
-        body = body_ref[:]                                # (BP, 8)
-        ox = misc_ref[0, 0]
-        oy = misc_ref[0, 1]
-        oz = misc_ref[0, 2]
+        ox = misc[0, 0]
+        oy = misc[0, 1]
+        oz = misc[0, 2]
 
         # Winner = reference scan order (all sphere candidates then all hull
         # candidates, strict < — physmodel.h:141-150 then :127-135), computed
@@ -94,8 +120,12 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
 
         if vals_only:
             # FitError's correspondence: winner (value, body) per point only
-            packed_ref[:] = jnp.concatenate(
+            res_v = jnp.concatenate(
                 [best, wb, mask, jnp.zeros((13, N), jnp.float32)], axis=0)
+            if batched:
+                packed_ref[0] = res_v
+            else:
+                packed_ref[:] = res_v
             return
 
         # winner body's plane block (dots / offsets / normals), one pass
@@ -111,7 +141,7 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
             pny = jnp.where(cond, pw_all[b * P:(b + 1) * P, 1:2], pny)
             pnz = jnp.where(cond, pw_all[b * P:(b + 1) * P, 2:3], pnz)
             if directed:
-                dw0 = jnp.where(cond, d0_ref[b * P:(b + 1) * P, 0:1], dw0)
+                dw0 = jnp.where(cond, d0v[b * P:(b + 1) * P, 0:1], dw0)
 
         # hull-winner normal: mean of the winner body's maximal planes
         # (same blend-on-ties semantics as the reference's mostabove pick);
@@ -164,10 +194,14 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
         if not pack:
             # unpacked: rows in point-slot order with WORLD attach points
             # (the unibody retarget subtracts its own body position outside)
-            packed_ref[:] = jnp.concatenate(
+            res_u = jnp.concatenate(
                 [nxf, nyf, nzf, w1x, w1y, w1z, td,
                  active.astype(jnp.float32),
                  jnp.zeros((8, N), jnp.float32)], axis=0)  # (16, N)
+            if batched:
+                packed_ref[0] = res_u
+            else:
+                packed_ref[:] = res_u
             return
 
         r1x = w1x - wpx
@@ -185,8 +219,11 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
             r = pltpu.roll(cum, k, axis=1)
             cum = cum + jnp.where(lane >= k, r, 0.0)
             k *= 2
-        counts_ref[:] = jnp.broadcast_to(
-            cum[:, N - 1:N], counts_ref.shape)
+        cbc = jnp.broadcast_to(cum[:, N - 1:N], (BP, 128))
+        if batched:
+            counts_ref[0] = cbc
+        else:
+            counts_ref[:] = cbc
         rank = jnp.sum(oh * (cum - 1.0), axis=0, keepdims=True)  # (1, N)
         cnt = jnp.sum(oh * cum[:, N - 1:N], axis=0, keepdims=True)  # (1, N)
 
@@ -227,18 +264,26 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
         res = jnp.dot(big, ohr, preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)  # (16B, C)
         for b in range(B):
-            packed_ref[:, b * C:(b + 1) * C] = res[b * 16:(b + 1) * 16]
+            if batched:
+                packed_ref[0, :, b * C:(b + 1) * C] = res[b * 16:(b + 1) * 16]
+            else:
+                packed_ref[:, b * C:(b + 1) * C] = res[b * 16:(b + 1) * 16]
         if B < BP:
-            packed_ref[:, B * C:] = jnp.zeros((16, (BP - B) * C), jnp.float32)
+            zf = jnp.zeros((16, (BP - B) * C), jnp.float32)
+            if batched:
+                packed_ref[0, :, B * C:] = zf
+            else:
+                packed_ref[:, B * C:] = zf
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("C", "directed"))
-def _cloud_rows_call(pts_h, planes_w, d0, body_sc, misc, C, directed):
+@functools.partial(jax.jit, static_argnames=("C", "directed", "mxu_dots"))
+def _cloud_rows_call(pts_h, planes_w, d0, body_sc, misc, C, directed,
+                     mxu_dots=True):
     from ..physics.pgs_kernel import _interpret
     B, P = planes_w.shape[0], planes_w.shape[1]
-    kernel = _make_kernel(B, P, C, directed)
+    kernel = _make_kernel(B, P, C, directed, mxu_dots=mxu_dots)
     packed, counts = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((16, BP * C), jnp.float32),
@@ -253,13 +298,46 @@ def _cloud_rows_call(pts_h, planes_w, d0, body_sc, misc, C, directed):
     return packed, counts
 
 
-@functools.partial(jax.jit, static_argnames=("directed", "vals_only"))
+def _bspecs(shapes):
+    return [pl.BlockSpec((1,) + sh, (lambda i, n=len(sh): (i,) + (0,) * n),
+                         memory_space=pltpu.VMEM) for sh in shapes]
+
+
+@functools.partial(jax.jit, static_argnames=("C", "directed", "mxu_dots"))
+def _cloud_rows_call_b(pts_h, planes_w, d0, body_sc, misc, C, directed,
+                       mxu_dots=True):
+    """Batched (T-leading) variant with an explicit parallel grid over
+    tracks — vmap-of-pallas serializes per-instance DMA against compute."""
+    from ..physics.pgs_kernel import _interpret
+    T = pts_h.shape[0]
+    B, P = planes_w.shape[1], planes_w.shape[2]
+    kernel = _make_kernel(B, P, C, directed, mxu_dots=mxu_dots, batched=True)
+    N = pts_h.shape[2]
+    packed, counts = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        out_shape=(jax.ShapeDtypeStruct((T, 16, BP * C), jnp.float32),
+                   jax.ShapeDtypeStruct((T, BP, 128), jnp.float32)),
+        in_specs=_bspecs([(8, N), (B * P, 8), (B * P, 8), (BP, 8), (8, 8)]),
+        out_specs=tuple(_bspecs([(16, BP * C), (BP, 128)])),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(pts_h, planes_w.reshape(T, B * P, 8), d0.reshape(T, B * P, 8),
+      body_sc, misc)
+    return packed, counts
+
+
+@functools.partial(jax.jit, static_argnames=("directed", "vals_only",
+                                              "mxu_dots"))
 def _cloud_rows_unpacked_call(pts_h, planes_w, d0, body_sc, misc, directed,
-                              vals_only=False):
+                              vals_only=False, mxu_dots=True):
     from ..physics.pgs_kernel import _interpret
     B, P = planes_w.shape[0], planes_w.shape[1]
     N = pts_h.shape[1]
-    kernel = _make_kernel(B, P, 0, directed, pack=False, vals_only=vals_only)
+    kernel = _make_kernel(B, P, 0, directed, pack=False, vals_only=vals_only,
+                          mxu_dots=mxu_dots)
     (vals,) = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((16, N), jnp.float32),),
@@ -271,6 +349,72 @@ def _cloud_rows_unpacked_call(pts_h, planes_w, d0, body_sc, misc, directed,
     )(pts_h, planes_w.reshape(B * P, -1), d0.reshape(B * P, -1), body_sc,
       misc)
     return vals
+
+
+@functools.partial(jax.jit, static_argnames=("directed", "vals_only",
+                                              "mxu_dots"))
+def _cloud_rows_unpacked_call_b(pts_h, planes_w, d0, body_sc, misc, directed,
+                                vals_only=False, mxu_dots=True):
+    from ..physics.pgs_kernel import _interpret
+    T = pts_h.shape[0]
+    B, P = planes_w.shape[1], planes_w.shape[2]
+    N = pts_h.shape[2]
+    kernel = _make_kernel(B, P, 0, directed, pack=False, vals_only=vals_only,
+                          mxu_dots=mxu_dots, batched=True)
+    (vals,) = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        out_shape=(jax.ShapeDtypeStruct((T, 16, N), jnp.float32),),
+        in_specs=_bspecs([(8, N), (B * P, 8), (B * P, 8), (BP, 8), (8, 8)]),
+        out_specs=tuple(_bspecs([(16, N)])),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(pts_h, planes_w.reshape(T, B * P, 8), d0.reshape(T, B * P, 8),
+      body_sc, misc)
+    return vals
+
+
+_ROWS_CV: dict = {}
+
+
+def _rows_cv(kind: str, C: int, directed: bool, vals_only: bool = False):
+    """custom_vmap entries so the TRACKS vmap lowers to the explicit
+    parallel-grid batched calls instead of vmap-of-pallas."""
+    key = (kind, C, directed, vals_only, _mxu_default())
+    if key in _ROWS_CV:
+        return _ROWS_CV[key]
+    from jax.custom_batching import custom_vmap
+    mxu = _mxu_default()
+
+    if kind == "pack":
+        @custom_vmap
+        def f(pts_h, planes_w, d0, body_sc, misc):
+            return _cloud_rows_call(pts_h, planes_w, d0, body_sc, misc, C,
+                                    directed, mxu_dots=mxu)
+    else:
+        @custom_vmap
+        def f(pts_h, planes_w, d0, body_sc, misc):
+            return _cloud_rows_unpacked_call(pts_h, planes_w, d0, body_sc,
+                                             misc, directed,
+                                             vals_only=vals_only,
+                                             mxu_dots=mxu)
+
+    @f.def_vmap
+    def f_vmap(axis_size, in_batched, *args):
+        T = axis_size
+        args = [a if b else jnp.broadcast_to(a, (T,) + a.shape)
+                for a, b in zip(args, in_batched)]
+        if kind == "pack":
+            out = _cloud_rows_call_b(*args, C, directed, mxu_dots=mxu)
+            return out, (True, True)
+        out = _cloud_rows_unpacked_call_b(*args, directed,
+                                          vals_only=vals_only, mxu_dots=mxu)
+        return out, True
+
+    _ROWS_CV[key] = f
+    return f
 
 
 def _kernel_inputs_ph(state, model, pts_h, origin):
@@ -316,8 +460,8 @@ def cloud_vals_ph(state, model, pts_h):
     """cloud_vals on the planes carrier ph (8, N) (mask = row 4)."""
     planes_w, d0, body_sc, misc = _kernel_inputs_ph(
         state, model, pts_h, jnp.zeros(3, jnp.float32))
-    vals = _cloud_rows_unpacked_call(pts_h, planes_w, d0, body_sc, misc,
-                                     False, vals_only=True)
+    vals = _rows_cv("unpacked", 0, False, vals_only=True)(
+        pts_h, planes_w, d0, body_sc, misc)
     return vals[1].astype(jnp.int32), vals[0]
 
 
@@ -330,8 +474,8 @@ def cloud_rows_unibody(state, model, points, point_mask, origin, uni_pos,
     from ..physics.colored import SingleBodyLinear
     planes_w, d0, pts_h, body_sc, misc = _kernel_inputs(
         state, model, points, point_mask, origin)
-    vals = _cloud_rows_unpacked_call(pts_h, planes_w, d0, body_sc, misc,
-                                     True)
+    vals = _rows_cv("unpacked", 0, True)(pts_h, planes_w, d0, body_sc,
+                                         misc)
     x = vals.T                                             # (N, 16)
     n, w1, td = x[:, 0:3], x[:, 3:6], x[:, 6]
     act = x[:, 7] > 0.5
@@ -369,8 +513,8 @@ def cloud_rows_packed_ph(state, model, pts_h, origin, scale_per_body,
         state, model, pts_h, origin)
     body_sc = body_sc.at[:B, 4].set(jnp.broadcast_to(scale_per_body, (B,)))
 
-    packed, counts = _cloud_rows_call(pts_h, planes_w, d0, body_sc, misc,
-                                      slots, directed)
+    packed, counts = _rows_cv("pack", slots, directed)(
+        pts_h, planes_w, d0, body_sc, misc)
     x = packed.reshape(16, BP, slots).transpose(2, 1, 0)[:, :B, :]  # (C,B,16)
     scale = x[..., 7]
     blk = SingleBodyLinear(

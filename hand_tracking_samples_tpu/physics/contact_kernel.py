@@ -225,7 +225,9 @@ def _contact_fields_call(vw, nw, dw, aux, pa, pb, scal, B, NP, n_points,
         out_specs=pl.BlockSpec((NP * NCH * n_points, TBLK), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            # independent track blocks: double-buffer the grid-step DMA
+            dimension_semantics=("parallel",)),
         interpret=_interpret(),
     )(vw, nw, dw, aux, pa, pb, scal)
     return out[:, :T]

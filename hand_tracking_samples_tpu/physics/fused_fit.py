@@ -245,13 +245,24 @@ def _fused_batched(plan, iterations, iterations_post, mode, drive_force,
     ang_planes = [rp.phase_planes_t(ch, cls, Tp)
                   for ch, cls in zip(ang_chans, plan.ang_classes)]
     import os
-    if os.environ.get("HTS_ZERO_PLANES"):
+    zp = os.environ.get("HTS_ZERO_PLANES")
+    if zp:
         # perf-experiment ONLY (mirrors pgs_kernel._solve_batched): zero the
         # pair-row planes with a cheap pose-dependent scalar so XLA drops the
-        # factories AND prep — attributes their cost by subtraction
+        # factories AND prep — attributes their cost by subtraction.
+        # Values: "1"/"all" (every class), "contacts" (the contact lin class
+        # only), "joints" (joint lin class), "ang" (all angular classes).
         z = state.pose[0, 0, 0] * 0.0
-        lin_planes = [jnp.broadcast_to(z, x.shape) for x in lin_planes]
-        ang_planes = [jnp.broadcast_to(z, x.shape) for x in ang_planes]
+        zero = lambda x: jnp.broadcast_to(z, x.shape)
+        if zp in ("1", "all"):
+            lin_planes = [zero(x) for x in lin_planes]
+            ang_planes = [zero(x) for x in ang_planes]
+        elif zp == "contacts" and len(lin_planes) > 1:
+            lin_planes = [lin_planes[0]] + [zero(x) for x in lin_planes[1:]]
+        elif zp == "joints":
+            lin_planes = [zero(lin_planes[0])] + lin_planes[1:]
+        elif zp == "ang":
+            ang_planes = [zero(x) for x in ang_planes]
     lin_G = [jnp.asarray(c.gather) for c in plan.lin_classes]
     lin_S = [jnp.asarray(c.scatter) for c in plan.lin_classes]
     ang_G = [jnp.asarray(c.gather) for c in plan.ang_classes]

@@ -461,7 +461,10 @@ def _pallas_solve(plan: SolvePlan, iterations: int, iterations_post: int,
         out_shape=jax.ShapeDtypeStruct((2, 6 * BP, T), jnp.float32),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+            vmem_limit_bytes=120 * 1024 * 1024,
+            # track blocks are independent: parallel semantics double-buffers
+            # the grid-step DMA (the default serializes DMA against compute)
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*inputs)
 

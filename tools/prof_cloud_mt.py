@@ -34,7 +34,7 @@ def bench(depths, trk):
 
     def kernel(draw_ref, out_ref):
         out_ref[:] = jnp.broadcast_to(jnp.sum(draw_ref[:] * 0.001),
-                                      (8, 128))
+                                      (1, 8, 128))
 
     def call(d):                       # d (T, H, W) u16
         draw = d.astype(jnp.float32).reshape(G, RT, 128)
