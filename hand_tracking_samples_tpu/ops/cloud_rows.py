@@ -40,18 +40,18 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
                  vals_only: bool = False, mxu_dots: bool = True,
                  batched: bool = False):
 
-    def kernel(pts_ref, planes_ref, d0_ref, body_ref, misc_ref,
+    def kernel(pts_ref, planes_ref, planest_ref, body_ref, misc_ref,
                packed_ref, counts_ref=None):
         if batched:          # (1, ...) leading block dim per grid instance
             pts = pts_ref[0]
             pw_all = planes_ref[0]
-            d0v = d0_ref[0]
+            pt5 = planest_ref[0]
             body = body_ref[0]
             misc = misc_ref[0]
         else:
             pts = pts_ref[:]                              # (8, N)
             pw_all = planes_ref[:]                        # (B*P, 8)
-            d0v = d0_ref[:]
+            pt5 = planest_ref[:]                          # (5P, B)
             body = body_ref[:]
             misc = misc_ref[:]
         N = pts.shape[1]
@@ -128,25 +128,44 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
                 packed_ref[:] = res_v
             return
 
-        # winner body's plane block (dots / offsets / normals), one pass
-        dw = jnp.zeros((P, N), jnp.float32)
-        dw0 = jnp.zeros((P, N), jnp.float32)
-        pnx = jnp.zeros((P, N), jnp.float32)
-        pny = jnp.zeros((P, N), jnp.float32)
-        pnz = jnp.zeros((P, N), jnp.float32)
-        for b in range(B):
-            cond = wb == b
-            dw = jnp.where(cond, dots_all[b * P:(b + 1) * P], dw)
-            pnx = jnp.where(cond, pw_all[b * P:(b + 1) * P, 0:1], pnx)
-            pny = jnp.where(cond, pw_all[b * P:(b + 1) * P, 1:2], pny)
-            pnz = jnp.where(cond, pw_all[b * P:(b + 1) * P, 2:3], pnz)
-            if directed:
-                dw0 = jnp.where(cond, d0v[b * P:(b + 1) * P, 0:1], dw0)
+        # winner body's plane block via ONE exact one-hot MXU gather: the
+        # planes ride (5P, B) channel rows [n.x | n.y | n.z | d | d0] and
+        # are split into three TRUNCATED bf16 planes (any f32 is exactly the
+        # sum of three 8-bit-mantissa chunks; every split/residual step is
+        # exact by Sterbenz), so three DEFAULT bf16 matmuls against the 0/1
+        # winner one-hot reconstruct the winner's plane block BITWISE — the
+        # old 17-iteration (P, N) select chain was ~half the kernel's VPU
+        # cycles.  dw is then recomputed with the same FMA expression as
+        # dots_all (identical values and op order -> identical bits, so the
+        # ohm == compare below still matches exactly).
+        ohb16 = ohb.astype(jnp.bfloat16)                  # (B, N) 0/1
+        h1 = pt5.astype(jnp.bfloat16)
+        r1 = pt5 - h1.astype(jnp.float32)
+        h2 = r1.astype(jnp.bfloat16)
+        h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def gsel(hk):
+            return jax.lax.dot_general(
+                hk, ohb16, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)      # (5P, N)
+
+        sel = (gsel(h1) + gsel(h2)) + gsel(h3)
+        pnx = sel[0:P]
+        pny = sel[P:2 * P]
+        pnz = sel[2 * P:3 * P]
+        dw = pnx * p3[0:1] + pny * p3[1:2] + pnz * p3[2:3] + sel[3 * P:4 * P]
+        if directed:
+            dw0 = sel[4 * P:5 * P]
 
         # hull-winner normal: mean of the winner body's maximal planes
         # (same blend-on-ties semantics as the reference's mostabove pick);
-        # only meaningful where the hull candidate won the strict-< scan
-        ohm = (dw == best).astype(jnp.float32)            # (P, N)
+        # only meaningful where the hull candidate won the strict-< scan.
+        # The compare is against dw's OWN max (not `best`): XLA may fuse the
+        # dw FMA chain differently from the dots_all one it was derived
+        # from, so the two can disagree in the last ulp — a self-consistent
+        # max keeps the maximal-plane set exact under any fusion
+        ohm = (dw == jnp.max(dw, axis=0, keepdims=True)).astype(jnp.float32)
         cnt = jnp.maximum(jnp.sum(ohm, axis=0, keepdims=True), 1.0)
         hx = jnp.sum(ohm * pnx, axis=0, keepdims=True) / cnt
         hy = jnp.sum(ohm * pny, axis=0, keepdims=True) / cnt
@@ -279,7 +298,7 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
 
 
 @functools.partial(jax.jit, static_argnames=("C", "directed", "mxu_dots"))
-def _cloud_rows_call(pts_h, planes_w, d0, body_sc, misc, C, directed,
+def _cloud_rows_call(pts_h, planes_w, planes_t, body_sc, misc, C, directed,
                      mxu_dots=True):
     from ..physics.pgs_kernel import _interpret
     B, P = planes_w.shape[0], planes_w.shape[1]
@@ -293,8 +312,7 @@ def _cloud_rows_call(pts_h, planes_w, d0, body_sc, misc, C, directed,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=_interpret(),
-    )(pts_h, planes_w.reshape(B * P, -1), d0.reshape(B * P, -1), body_sc,
-      misc)
+    )(pts_h, planes_w.reshape(B * P, -1), planes_t, body_sc, misc)
     return packed, counts
 
 
@@ -304,7 +322,7 @@ def _bspecs(shapes):
 
 
 @functools.partial(jax.jit, static_argnames=("C", "directed", "mxu_dots"))
-def _cloud_rows_call_b(pts_h, planes_w, d0, body_sc, misc, C, directed,
+def _cloud_rows_call_b(pts_h, planes_w, planes_t, body_sc, misc, C, directed,
                        mxu_dots=True):
     """Batched (T-leading) variant with an explicit parallel grid over
     tracks — vmap-of-pallas serializes per-instance DMA against compute."""
@@ -318,21 +336,20 @@ def _cloud_rows_call_b(pts_h, planes_w, d0, body_sc, misc, C, directed,
         grid=(T,),
         out_shape=(jax.ShapeDtypeStruct((T, 16, BP * C), jnp.float32),
                    jax.ShapeDtypeStruct((T, BP, 128), jnp.float32)),
-        in_specs=_bspecs([(8, N), (B * P, 8), (B * P, 8), (BP, 8), (8, 8)]),
+        in_specs=_bspecs([(8, N), (B * P, 8), (5 * P, B), (BP, 8), (8, 8)]),
         out_specs=tuple(_bspecs([(16, BP * C), (BP, 128)])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
             dimension_semantics=("parallel",)),
         interpret=_interpret(),
-    )(pts_h, planes_w.reshape(T, B * P, 8), d0.reshape(T, B * P, 8),
-      body_sc, misc)
+    )(pts_h, planes_w.reshape(T, B * P, 8), planes_t, body_sc, misc)
     return packed, counts
 
 
 @functools.partial(jax.jit, static_argnames=("directed", "vals_only",
                                               "mxu_dots"))
-def _cloud_rows_unpacked_call(pts_h, planes_w, d0, body_sc, misc, directed,
-                              vals_only=False, mxu_dots=True):
+def _cloud_rows_unpacked_call(pts_h, planes_w, planes_t, body_sc, misc,
+                              directed, vals_only=False, mxu_dots=True):
     from ..physics.pgs_kernel import _interpret
     B, P = planes_w.shape[0], planes_w.shape[1]
     N = pts_h.shape[1]
@@ -346,15 +363,14 @@ def _cloud_rows_unpacked_call(pts_h, planes_w, d0, body_sc, misc, directed,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=_interpret(),
-    )(pts_h, planes_w.reshape(B * P, -1), d0.reshape(B * P, -1), body_sc,
-      misc)
+    )(pts_h, planes_w.reshape(B * P, -1), planes_t, body_sc, misc)
     return vals
 
 
 @functools.partial(jax.jit, static_argnames=("directed", "vals_only",
                                               "mxu_dots"))
-def _cloud_rows_unpacked_call_b(pts_h, planes_w, d0, body_sc, misc, directed,
-                                vals_only=False, mxu_dots=True):
+def _cloud_rows_unpacked_call_b(pts_h, planes_w, planes_t, body_sc, misc,
+                                directed, vals_only=False, mxu_dots=True):
     from ..physics.pgs_kernel import _interpret
     T = pts_h.shape[0]
     B, P = planes_w.shape[1], planes_w.shape[2]
@@ -365,14 +381,13 @@ def _cloud_rows_unpacked_call_b(pts_h, planes_w, d0, body_sc, misc, directed,
         kernel,
         grid=(T,),
         out_shape=(jax.ShapeDtypeStruct((T, 16, N), jnp.float32),),
-        in_specs=_bspecs([(8, N), (B * P, 8), (B * P, 8), (BP, 8), (8, 8)]),
+        in_specs=_bspecs([(8, N), (B * P, 8), (5 * P, B), (BP, 8), (8, 8)]),
         out_specs=tuple(_bspecs([(16, N)])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
             dimension_semantics=("parallel",)),
         interpret=_interpret(),
-    )(pts_h, planes_w.reshape(T, B * P, 8), d0.reshape(T, B * P, 8),
-      body_sc, misc)
+    )(pts_h, planes_w.reshape(T, B * P, 8), planes_t, body_sc, misc)
     return vals
 
 
@@ -390,14 +405,14 @@ def _rows_cv(kind: str, C: int, directed: bool, vals_only: bool = False):
 
     if kind == "pack":
         @custom_vmap
-        def f(pts_h, planes_w, d0, body_sc, misc):
-            return _cloud_rows_call(pts_h, planes_w, d0, body_sc, misc, C,
-                                    directed, mxu_dots=mxu)
+        def f(pts_h, planes_w, planes_t, body_sc, misc):
+            return _cloud_rows_call(pts_h, planes_w, planes_t, body_sc,
+                                    misc, C, directed, mxu_dots=mxu)
     else:
         @custom_vmap
-        def f(pts_h, planes_w, d0, body_sc, misc):
-            return _cloud_rows_unpacked_call(pts_h, planes_w, d0, body_sc,
-                                             misc, directed,
+        def f(pts_h, planes_w, planes_t, body_sc, misc):
+            return _cloud_rows_unpacked_call(pts_h, planes_w, planes_t,
+                                             body_sc, misc, directed,
                                              vals_only=vals_only,
                                              mxu_dots=mxu)
 
@@ -425,13 +440,16 @@ def _kernel_inputs_ph(state, model, pts_h, origin):
     planes_w = world_planes(state.pose, model)            # (B, P, 8)
     d0 = (jnp.einsum("bpk,k->bp", planes_w[..., :3], origin)
           + planes_w[..., 3])
-    d0 = jnp.where(model.plane_mask, d0, -1.0)[..., None]  # (B, P, 1)
-    d0 = jnp.broadcast_to(d0, d0.shape[:2] + (8,))
+    d0 = jnp.where(model.plane_mask, d0, -1.0)             # (B, P)
+    # (5P, B) channel rows [n.x | n.y | n.z | d | d0] for the in-kernel
+    # winner-block one-hot gather (contraction over bodies on lanes)
+    planes_t = jnp.concatenate(
+        [planes_w[:, :, c].T for c in range(4)] + [d0.T], axis=0)
     body_sc = jnp.zeros((BP, 8), jnp.float32)
     body_sc = (body_sc.at[:B, 0:3].set(state.pose[:, :3])
                .at[:B, 3].set(model.radius_inner))
     misc = jnp.zeros((8, 8), jnp.float32).at[0, 0:3].set(origin)
-    return planes_w, d0, body_sc, misc
+    return planes_w, planes_t, body_sc, misc
 
 
 def points_planes(points, point_mask):
@@ -444,9 +462,9 @@ def points_planes(points, point_mask):
 
 def _kernel_inputs(state, model, points, point_mask, origin):
     pts_h = points_planes(points, point_mask)
-    planes_w, d0, body_sc, misc = _kernel_inputs_ph(state, model, pts_h,
-                                                    origin)
-    return planes_w, d0, pts_h, body_sc, misc
+    planes_w, planes_t, body_sc, misc = _kernel_inputs_ph(state, model,
+                                                          pts_h, origin)
+    return planes_w, planes_t, pts_h, body_sc, misc
 
 
 def cloud_vals(state, model, points, point_mask):
@@ -458,10 +476,10 @@ def cloud_vals(state, model, points, point_mask):
 
 def cloud_vals_ph(state, model, pts_h):
     """cloud_vals on the planes carrier ph (8, N) (mask = row 4)."""
-    planes_w, d0, body_sc, misc = _kernel_inputs_ph(
+    planes_w, planes_t, body_sc, misc = _kernel_inputs_ph(
         state, model, pts_h, jnp.zeros(3, jnp.float32))
     vals = _rows_cv("unpacked", 0, False, vals_only=True)(
-        pts_h, planes_w, d0, body_sc, misc)
+        pts_h, planes_w, planes_t, body_sc, misc)
     return vals[1].astype(jnp.int32), vals[0]
 
 
@@ -472,9 +490,9 @@ def cloud_rows_unibody(state, model, points, point_mask, origin, uni_pos,
     point-slot order on body 0 with r1 measured from `uni_pos` and force
     limits +-force.  Returns a SingleBodyLinear block with B=1."""
     from ..physics.colored import SingleBodyLinear
-    planes_w, d0, pts_h, body_sc, misc = _kernel_inputs(
+    planes_w, planes_t, pts_h, body_sc, misc = _kernel_inputs(
         state, model, points, point_mask, origin)
-    vals = _rows_cv("unpacked", 0, True)(pts_h, planes_w, d0, body_sc,
+    vals = _rows_cv("unpacked", 0, True)(pts_h, planes_w, planes_t, body_sc,
                                          misc)
     x = vals.T                                             # (N, 16)
     n, w1, td = x[:, 0:3], x[:, 3:6], x[:, 6]
@@ -509,12 +527,12 @@ def cloud_rows_packed_ph(state, model, pts_h, origin, scale_per_body,
     from ..physics.colored import SingleBodyLinear
 
     B = model.planes.shape[0]
-    planes_w, d0, body_sc, misc = _kernel_inputs_ph(
+    planes_w, planes_t, body_sc, misc = _kernel_inputs_ph(
         state, model, pts_h, origin)
     body_sc = body_sc.at[:B, 4].set(jnp.broadcast_to(scale_per_body, (B,)))
 
     packed, counts = _rows_cv("pack", slots, directed)(
-        pts_h, planes_w, d0, body_sc, misc)
+        pts_h, planes_w, planes_t, body_sc, misc)
     x = packed.reshape(16, BP, slots).transpose(2, 1, 0)[:, :B, :]  # (C,B,16)
     scale = x[..., 7]
     blk = SingleBodyLinear(
