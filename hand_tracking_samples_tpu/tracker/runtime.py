@@ -531,16 +531,39 @@ def _get_reset_entry(config: TrackerConfig, use_ph: bool = False):
         params_u = jax.tree.map(lambda x, b: x[0] if b else x, params,
                                 params_b)
 
-        def do(bd):
-            new = jax.vmap(
-                lambda b, a, p, m, c: _reset(b, model_u, a, p, m, c,
-                                             params_u))(
-                bd, analysis, points, point_mask, camera_pose)
-            pick = lambda n, o: jnp.where(
-                pred.reshape((T,) + (1,) * (n.ndim - 1)), n, o)
-            return jax.tree.map(pick, new, bd)
+        def do_block(pred_b, bd, analysis_b, points_b, mask_b, cam_b):
+            TB = pred_b.shape[0]
 
-        out = jax.lax.cond(jnp.any(pred), do, lambda bd: bd, body)
+            def do(bdd):
+                new = jax.vmap(
+                    lambda b, a, p, m, c: _reset(b, model_u, a, p, m, c,
+                                                 params_u))(
+                    bdd, analysis_b, points_b, mask_b, cam_b)
+                pick = lambda n, o: jnp.where(
+                    pred_b.reshape((TB,) + (1,) * (n.ndim - 1)), n, o)
+                return jax.tree.map(pick, new, bdd)
+
+            return jax.lax.cond(jnp.any(pred_b), do, lambda bdd: bdd, bd)
+
+        # shard the any-pred gate over 128-track blocks: resets are rare but
+        # with hundreds of tracks SOME track resets most heavy frames, so a
+        # whole-batch cond degenerates to always-on (the reset branch is
+        # ~17 ms/frame at T=512 on-chip).  Per-block conds skip the blocks
+        # with no resetting track.
+        TB = 128
+        if T % TB == 0 and T > TB:
+            G = T // TB
+            rs = lambda tree: jax.tree.map(
+                lambda x: x.reshape((G, TB) + x.shape[1:]), tree)
+            out = jax.lax.map(
+                lambda xs: do_block(*xs),
+                (rs(pred), rs(body), rs(analysis), rs(points),
+                 rs(point_mask), rs(camera_pose)))
+            out = jax.tree.map(
+                lambda x: x.reshape((T,) + x.shape[2:]), out)
+        else:
+            out = do_block(pred, body, analysis, points, point_mask,
+                           camera_pose)
         return out, jax.tree.map(lambda _: True, out)
 
     _RESET_ENTRIES[key] = maybe_reset
