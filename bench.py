@@ -44,6 +44,30 @@ SOLVER = os.environ.get("BENCH_SOLVER", "kernel")
 CLOUD_ROWS = int(os.environ.get("BENCH_CLOUD_ROWS", "128"))
 
 
+_RTT = None
+
+
+def _tunnel_rtt():
+    """Measured round-trip of a trivial dispatch+fetch.  Small-program
+    timings over the axon tunnel are meaningless without subtracting it:
+    block_until_ready can return before execution for small pure-XLA
+    programs and identical (executable, inputs) pairs are served from a
+    result cache, so honest micro-bench timing = one big in-jit scan over
+    varying inputs, a VALUE fetch, minus this RTT."""
+    global _RTT
+    if _RTT is None:
+        g = jax.jit(lambda b: b + 1.0)
+        float(g(jnp.float32(0)))
+        ts = []
+        for i in range(3):
+            t0 = time.time()
+            float(g(jnp.float32(i + 10)))
+            ts.append(time.time() - t0)
+        _RTT = min(ts)
+        sys.stderr.write(f"# tunnel rtt {_RTT*1000:.1f} ms\n")
+    return _RTT
+
+
 def emit(metric, value, baseline):
     print(json.dumps({"metric": metric, "value": round(value, 1),
                       "unit": ("frames/s/chip" if "fps" in metric or
@@ -52,25 +76,36 @@ def emit(metric, value, baseline):
 
 
 def bench_cnn_forward():
-    """BASELINE config 2: trained net on 64x64 depth crops."""
+    """BASELINE config 2: trained net on 64x64 depth crops.
+
+    The 20 forward passes ride ONE lax.scan over DIFFERENT batches inside a
+    single jit call, and every rep biases the input: the axon tunnel
+    result-caches identical (executable, inputs) executions AND a
+    per-dispatch RTT dwarfs the op, so the naive loop-of-identical-calls
+    measures the cache (~700x too good) or the network (~50x too bad)."""
     from hand_tracking_samples_tpu.assets_paths import DEFAULT_CNNB
     from hand_tracking_samples_tpu.cnn.model import forward, load_cnnb
     params = load_cnnb(DEFAULT_CNNB)
-    B = 1024
+    B, R = 1024, 20
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(B, 64, 64).astype(np.float32))
-    f = jax.jit(forward)
-    jax.block_until_ready(f(params, x))
+    x = jnp.asarray(rng.rand(R, B, 64, 64).astype(np.float32))
+
+    def run(params, x, b):
+        def step(c, xb):
+            return c + forward(params, xb + b).sum(), 0
+        c, _ = jax.lax.scan(step, jnp.float32(0), x)
+        return c
+
+    f = jax.jit(run)
+    float(f(params, x, jnp.float32(0)))
     dts = []
-    for _ in range(int(os.environ.get("BENCH_REPS", "3"))):
+    for i in range(int(os.environ.get("BENCH_REPS", "3"))):
         t0 = time.time()
-        for _ in range(20):
-            y = f(params, x)
-        jax.block_until_ready(y)
-        dts.append(time.time() - t0)
-    # reference: single-example SSE forward at interactive rates (~60/s);
-    # best of N reps — the tunnelled chip is time-shared (see main())
-    emit("cnn_forward_crops_per_sec_per_chip", 20 * B / min(dts), 60.0)
+        float(f(params, x, jnp.float32(i + 1)))   # value fetch: the only
+        dts.append(time.time() - t0)              # reliable sync (see below)
+    # reference: single-example SSE forward at interactive rates (~60/s)
+    emit("cnn_forward_crops_per_sec_per_chip",
+         R * B / max(min(dts) - _tunnel_rtt(), 1e-4), 60.0)
 
 
 def bench_train():
@@ -89,16 +124,18 @@ def bench_train():
             return p, mse
         return jax.lax.scan(body, params, (x, t))
 
-    f = jax.jit(run)
-    jax.block_until_ready(f(params, x, t))
+    f = jax.jit(lambda p, x, t, b: run(p, x + b, t)[1][-1])
+    float(f(params, x, t, jnp.float32(0)))
     dts = []
-    for _ in range(int(os.environ.get("BENCH_REPS", "3"))):
+    for i in range(int(os.environ.get("BENCH_REPS", "3"))):
+        # per-rep input bias: identical (executable, inputs) executions are
+        # served from the tunnel's result cache (measured ~700x too good)
         t0 = time.time()
-        out = f(params, x, t)
-        jax.block_until_ready(out)
+        float(f(params, x, t, jnp.float32(i + 1)))
         dts.append(time.time() - t0)
     # reference ~ "hours overnight" for ~100k steps -> O(10) examples/s
-    emit("train_sgd_examples_per_sec_per_chip", STEPS * B / min(dts), 10.0)
+    emit("train_sgd_examples_per_sec_per_chip",
+         STEPS * B / max(min(dts) - _tunnel_rtt(), 1e-4), 10.0)
 
 
 def bench_export(model, bank, cam):
@@ -113,14 +150,24 @@ def bench_export(model, bank, cam):
     render = jax.jit(jax.vmap(lambda p: fake_depth(p, model, cam)))
     depths = jnp.concatenate([render(poses[i:i + 256])
                               for i in range(0, T, 256)])
-    f = jax.jit(jax.vmap(lambda d, p: compress_frame(d, cam, p)))
-    jax.block_until_ready(f(depths, poses))
+    def run(depths, poses, b):
+        def step(c, i):
+            # i varies per scan step so XLA cannot hoist the loop-invariant
+            # body and compute the 5 iterations once
+            out = jax.vmap(lambda d, p: compress_frame(d, cam, p))(
+                depths + b + i, poses)
+            return c + jax.tree.leaves(out)[0].astype(jnp.float32).sum(), 0
+        c, _ = jax.lax.scan(step, jnp.float32(0),
+                            jnp.arange(5, dtype=jnp.uint16))
+        return c
+
+    f = jax.jit(run)
+    jax.block_until_ready(f(depths, poses, jnp.uint16(0)))
     dts = []
-    for _ in range(int(os.environ.get("BENCH_REPS", "3"))):
+    for i in range(int(os.environ.get("BENCH_REPS", "3"))):
+        # per-rep input bias busts the tunnel result cache (see cnn bench)
         t0 = time.time()
-        for _ in range(5):
-            out = f(depths, poses)
-        jax.block_until_ready(out)
+        out = jax.block_until_ready(f(depths, poses, jnp.uint16(i + 1)))
         dts.append(time.time() - t0)
     emit("export_segment_label_frames_per_sec_per_chip",
          5 * T / min(dts), 60.0)
