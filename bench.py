@@ -68,6 +68,21 @@ def _tunnel_rtt():
     return _RTT
 
 
+def _honest_dt(best):
+    """RTT-subtracted rep time, refusing to report cache-served reps.  A rep
+    at or below a few RTTs means the tunnel served the result cache (the
+    round-2 inflation class) — raise so the bad number can't be committed
+    instead of silently clamping to a floor that inflates the metric."""
+    rtt = _tunnel_rtt()
+    net = best - rtt
+    if net < 3 * rtt:
+        raise RuntimeError(
+            f"micro-bench rep {best*1000:.1f} ms is within 3x the tunnel RTT "
+            f"({rtt*1000:.1f} ms): result-cache or timing-jitter suspect — "
+            f"grow the in-jit work (reps/batch) until reps dominate the RTT")
+    return net
+
+
 def emit(metric, value, baseline):
     print(json.dumps({"metric": metric, "value": round(value, 1),
                       "unit": ("frames/s/chip" if "fps" in metric or
@@ -105,7 +120,7 @@ def bench_cnn_forward():
         dts.append(time.time() - t0)              # reliable sync (see below)
     # reference: single-example SSE forward at interactive rates (~60/s)
     emit("cnn_forward_crops_per_sec_per_chip",
-         R * B / max(min(dts) - _tunnel_rtt(), 1e-4), 60.0)
+         R * B / _honest_dt(min(dts)), 60.0)
 
 
 def bench_train():
@@ -135,7 +150,7 @@ def bench_train():
         dts.append(time.time() - t0)
     # reference ~ "hours overnight" for ~100k steps -> O(10) examples/s
     emit("train_sgd_examples_per_sec_per_chip",
-         STEPS * B / max(min(dts) - _tunnel_rtt(), 1e-4), 10.0)
+         STEPS * B / _honest_dt(min(dts)), 10.0)
 
 
 def bench_export(model, bank, cam):

@@ -8,6 +8,8 @@ lax.scan over rows, which is exactly equivalent.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -290,7 +292,21 @@ def compact_planes(ph, keep, budget: int):
     packed to the front of a (8, budget) planes block in original order,
     mask row = slot validity, empty slots zero.  The pack is ONE one-hot
     f32 matmul (single-term sums — exact); identical valid entries to
-    compact_points(points, keep, budget)."""
+    compact_points(points, keep, budget).
+
+    Drop semantics (mirrors compact_points): kept lanes whose rank >= budget
+    are TAIL-dropped — their one-hot column does not exist.  This violates
+    the no-tail-truncate invariant unless the caller sizes budget >= the
+    maximum possible keep count (multi_step_sim does: msub_budget equals the
+    exact subsample maximum) or pre-thins `keep` uniformly first."""
+    if __debug__ and os.environ.get("HTS_DEBUG_CAPS", "0") == "1":
+        # opt-in runtime guard for future call sites (constant-folds away
+        # under jit otherwise): assert the budget can hold every kept lane
+        jax.debug.callback(
+            lambda c: None if c <= budget else (_ for _ in ()).throw(
+                AssertionError(f"compact_planes tail-drop: {c} kept > "
+                               f"budget {budget}")),
+            jnp.sum(keep.astype(jnp.int32)))
     N = ph.shape[1]
     cum = jnp.cumsum(keep.astype(jnp.int32))
     rank = cum - 1                                         # dest slot

@@ -37,7 +37,7 @@ def _mxu_default() -> bool:
 
 
 def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
-                 vals_only: bool = False, mxu_dots: bool = True,
+                 vals_only: bool = False, mxu_dots: bool = False,
                  batched: bool = False):
 
     def kernel(pts_ref, planes_ref, planest_ref, body_ref, misc_ref,
@@ -299,7 +299,7 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
 
 @functools.partial(jax.jit, static_argnames=("C", "directed", "mxu_dots"))
 def _cloud_rows_call(pts_h, planes_w, planes_t, body_sc, misc, C, directed,
-                     mxu_dots=True):
+                     mxu_dots=False):
     from ..physics.pgs_kernel import _interpret
     B, P = planes_w.shape[0], planes_w.shape[1]
     kernel = _make_kernel(B, P, C, directed, mxu_dots=mxu_dots)
@@ -323,7 +323,7 @@ def _bspecs(shapes):
 
 @functools.partial(jax.jit, static_argnames=("C", "directed", "mxu_dots"))
 def _cloud_rows_call_b(pts_h, planes_w, planes_t, body_sc, misc, C, directed,
-                       mxu_dots=True):
+                       mxu_dots=False):
     """Batched (T-leading) variant with an explicit parallel grid over
     tracks — vmap-of-pallas serializes per-instance DMA against compute."""
     from ..physics.pgs_kernel import _interpret
@@ -349,7 +349,7 @@ def _cloud_rows_call_b(pts_h, planes_w, planes_t, body_sc, misc, C, directed,
 @functools.partial(jax.jit, static_argnames=("directed", "vals_only",
                                               "mxu_dots"))
 def _cloud_rows_unpacked_call(pts_h, planes_w, planes_t, body_sc, misc,
-                              directed, vals_only=False, mxu_dots=True):
+                              directed, vals_only=False, mxu_dots=False):
     from ..physics.pgs_kernel import _interpret
     B, P = planes_w.shape[0], planes_w.shape[1]
     N = pts_h.shape[1]
@@ -370,7 +370,7 @@ def _cloud_rows_unpacked_call(pts_h, planes_w, planes_t, body_sc, misc,
 @functools.partial(jax.jit, static_argnames=("directed", "vals_only",
                                               "mxu_dots"))
 def _cloud_rows_unpacked_call_b(pts_h, planes_w, planes_t, body_sc, misc,
-                                directed, vals_only=False, mxu_dots=True):
+                                directed, vals_only=False, mxu_dots=False):
     from ..physics.pgs_kernel import _interpret
     T = pts_h.shape[0]
     B, P = planes_w.shape[1], planes_w.shape[2]
