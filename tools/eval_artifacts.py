@@ -145,8 +145,78 @@ def dyntrack():
     }, "ROUND=%s python tools/eval_artifacts.py dyntrack" % ROUND)
 
 
+def bench_full():
+    """BENCH_full emitted from ACTUAL bench.py invocations (VERDICT r4 item
+    6): subprocess the five mode/k combos, parse the one-JSON-line contract
+    + the stderr mean_joint_err, refuse to hand-type any headline number."""
+    import re
+    configs = [
+        ("full", 4, "the reference's own operating point (CNN < once per "
+                    "frame, handtrack.h:45-48)"),
+        ("full_rec", 4, "recorded-replay: depth streamed from a "
+                        "DatasetWriter .rs recording of the animbank "
+                        "(BASELINE config 3 is 'recorded depth seqs'; "
+                        "realtime-tracker.cpp:38 file-replay mode)"),
+        ("full", 1, "every-frame CNN: strictly heavier than anything the "
+                    "reference runs"),
+        ("full_rec", 1, None),
+        ("dynamics", None, "dynamics-only (BASELINE config 0)"),
+    ]
+    rows = []
+    for mode, k, note in configs:
+        env = {**os.environ, "BENCH_MODE": mode}
+        if k is not None:
+            env["BENCH_CNN_K"] = str(k)
+        print(f"bench {mode} k={k} ...", flush=True)
+        r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                           env=env, capture_output=True, text=True,
+                           check=True)
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        out = json.loads(line)
+        m = re.search(r"mean_joint_err=([0-9.]+)mm", r.stderr)
+        row = {"mode": mode, "cnn_every_k": k,
+               "fps_per_chip": out["value"],
+               "mean_joint_err_mm": float(m.group(1)) if m else None}
+        if note:
+            row["note"] = note
+        fd = re.search(r"first 64 tracks: ours ([0-9.]+)mm vs C\+\+ "
+                       r"reference ([0-9.]+)mm", r.stderr)
+        if fd:
+            row["note"] = (row.get("note", "") +
+                           f"; fast-segment drift first 64 tracks "
+                           f"{fd.group(1)}mm vs C++ reference {fd.group(2)}mm"
+                           f" on the identical protocol").lstrip("; ")
+        rows.append(row)
+        print(f"  -> {out['value']} fps, err {row['mean_joint_err_mm']} mm",
+              flush=True)
+    by = {(c["mode"], c["cnn_every_k"]): c["fps_per_chip"] for c in rows}
+    _write("BENCH_full", {
+        "protocol": "BASELINE config 3: full CNN-guided pipeline (segment + "
+                    "CNN + decode + reset branch + 5-step MultiStepSim + "
+                    "main fit), T=512 tracks x 32 frames, parity defaults "
+                    "(point_budget 2048, cloud_rows_per_body 128, "
+                    "solver=kernel, pallas), TPU v5e 1 chip via the axon "
+                    "tunnel, best of 3 reps",
+        "generated_by": "tools/eval_artifacts.py bench_full (subprocessed "
+                        "bench.py runs; no hand-typed numbers)",
+        "configs": rows,
+        "north_star": {"target_fps_at_k4": 10000,
+                       "met": min(by[("full", 4)],
+                                  by[("full_rec", 4)]) >= 10000,
+                       "target_fps_at_k1": 5000,
+                       "met_k1": min(by[("full", 1)],
+                                     by[("full_rec", 1)]) >= 5000},
+        "history_fps": {"round2_k1": 3098, "round3_k1": 3145,
+                        "round4_k1": 4353.2, "round2_k4": 7146,
+                        "round3_k4": 7191, "round4_k4": 10328.6,
+                        "round3_dynamics_parity": 13502,
+                        "round4_dynamics_parity": 21364.6},
+    }, "ROUND=%s python tools/eval_artifacts.py bench_full" % ROUND)
+
+
 if __name__ == "__main__":
-    which = sys.argv[1:] or ["coldstart", "fastdrift", "dyntrack"]
+    which = sys.argv[1:] or ["coldstart", "fastdrift", "dyntrack",
+                             "bench_full"]
     for w in which:
         {"coldstart": coldstart, "fastdrift": fastdrift,
-         "dyntrack": dyntrack}[w]()
+         "dyntrack": dyntrack, "bench_full": bench_full}[w]()
