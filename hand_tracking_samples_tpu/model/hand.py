@@ -183,15 +183,16 @@ def _fit_point_cloud_fused(state, model, params, points, point_mask,
 
     B = state.pose.shape[0]
     sb = list(single_blocks)
-    if use_kernel and points_ph is not None:
-        from ..ops.cloud_rows import cloud_rows_packed_ph
+    cloud = fused_inputs.get("cloud")
+    if cloud is None and use_kernel and points_ph is not None:
+        # the cloud rides the planes carrier into fused_fit, which packs it
+        # with the 12-channel solve-prep kernel straight into the solve
+        # planes (no SingleBodyLinear round trip)
         scale_b = jnp.where(jnp.arange(B) <= 2, PHYSICS_WEAK_FORCE,
                             1.0) * microforce
         o = jnp.zeros(3, jnp.float32) if origin is None else origin
-        blk, _ = cloud_rows_packed_ph(state, model, points_ph, o,
-                                      scale_b, cloud_slots)
-        sb.append(blk)
-    elif points.shape[0] > 0:
+        cloud = (points_ph, o, scale_b)
+    elif cloud is None and points.shape[0] > 0:
         if use_kernel:
             from ..ops.cloud_rows import cloud_rows_packed
             scale_b = jnp.where(jnp.arange(B) <= 2, PHYSICS_WEAK_FORCE,
@@ -201,12 +202,13 @@ def _fit_point_cloud_fused(state, model, params, points, point_mask,
                                        scale_b, cloud_slots)
             sb.append(blk)
         else:
-            cloud = cloud_constraint_rows(state, model, points, point_mask,
-                                          origin=origin, use_kernel=use_kernel)
-            weak = (cloud.b1 <= 2).astype(jnp.float32)
+            crows = cloud_constraint_rows(state, model, points, point_mask,
+                                          origin=origin,
+                                          use_kernel=use_kernel)
+            weak = (crows.b1 <= 2).astype(jnp.float32)
             scale = (weak * PHYSICS_WEAK_FORCE + (1.0 - weak)) * microforce
-            cloud = scale_cloud_forces(cloud, scale)
-            sb.append(pack_single_body_linear(cloud, B, cloud_slots))
+            crows = scale_cloud_forces(crows, scale)
+            sb.append(pack_single_body_linear(crows, B, cloud_slots))
     single = (_jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *sb)
               if sb else None)
     bp = body_params(model)
@@ -214,7 +216,8 @@ def _fit_point_cloud_fused(state, model, params, points, point_mask,
                     iterations=iterations, iterations_post=iterations_post,
                     mode=fused_inputs["mode"],
                     drive_force=fused_inputs.get("drive_force", 0.0),
-                    model=model)
+                    model=model, cloud=cloud,
+                    cloud_slots=cloud_slots if cloud is not None else 0)
     return sanity_check(new, bp)
 
 

@@ -38,7 +38,11 @@ def _mxu_default() -> bool:
 
 def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
                  vals_only: bool = False, mxu_dots: bool = False,
-                 batched: bool = False):
+                 batched: bool = False, solve_ch: bool = False):
+    """solve_ch: pack ONLY the 12 solve-prep channels
+    [n(3), J1(3), K1(3), dinv, tsm, scale] (the fused path's consumption
+    set — tsp/force limits derive outside) instead of the 16-channel
+    parity set; shrinks the dominant scatter matmul 16B -> 12B rows."""
 
     def kernel(pts_ref, planes_ref, planest_ref, body_ref, misc_ref,
                packed_ref, counts_ref=None):
@@ -227,6 +231,28 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
         r1y = w1y - wpy
         r1z = w1z - wpz
 
+        # solve-prep geometry per point (the per-row math of
+        # pgs_kernel._prep_singles, moved in-kernel so the packed block is
+        # already in the solve kernel's channel set and the XLA
+        # SingleBodyLinear round trip + re-prep disappears from the fused
+        # path): J1 = r1 x n, K1 = Iinv_w(winner) @ J1,
+        # dinv = 1/(massinv_w + (K1 x r1).n).  Same FMA expressions and
+        # association order as _prep_singles for value parity.
+        Jx = r1y * nzf - r1z * nyf
+        Jy = r1z * nxf - r1x * nzf
+        Jz = r1x * nyf - r1y * nxf
+        mi_w = pick_b(body[0:B, 5:6])
+        iw = [pick_b(body[0:B, 6 + k:7 + k]) for k in range(9)]
+        Kx = iw[0] * Jx + iw[1] * Jy + iw[2] * Jz
+        Ky = iw[3] * Jx + iw[4] * Jy + iw[5] * Jz
+        Kz = iw[6] * Jx + iw[7] * Jy + iw[8] * Jz
+        ccx = Ky * r1z - Kz * r1y
+        ccy = Kz * r1x - Kx * r1z
+        ccz = Kx * r1y - Ky * r1x
+        denom = mi_w + (ccx * nxf + ccy * nyf + ccz * nzf)
+        dinv = jnp.where(active & (denom != 0),
+                         1.0 / jnp.where(denom == 0, 1.0, denom), 0.0)
+
         # per-body rank among active points (lane roll-scan), then pack
         bodyi = wb.astype(jnp.int32)
         oh = ((jax.lax.broadcasted_iota(jnp.int32, (BP, N), 0) == bodyi)
@@ -262,10 +288,25 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
         comp = jnp.where(thin, cnt * (1.0 / C), 1.0)
         wsc = wsc * comp
 
-        zeros = jnp.zeros((7, N), jnp.float32)
-        vals = jnp.concatenate(
-            [nxf, nyf, nzf, r1x, r1y, r1z, td, wsc,
-             active.astype(jnp.float32), zeros], axis=0)  # (16, N)
+        if solve_ch:
+            # tsm = targetdist / dt * act: the same divide as _prep_singles
+            # (act multiply is a no-op for packed points — only active ones
+            # scatter)
+            dt = misc[0, 3]
+            tsm = td / dt
+            vals = jnp.concatenate(
+                [nxf, nyf, nzf, Jx, Jy, Jz, Kx, Ky, Kz, dinv, tsm, wsc],
+                axis=0)                                  # (12, N)
+        else:
+            # channel set [n(3), J1(3), K1(3), dinv, r1(3), td, wsc, act]:
+            # rows 0-9 are the solve-prep channels, rows 10-15 the raw
+            # reference fields (SingleBodyLinear reconstruction + parity
+            # tests)
+            vals = jnp.concatenate(
+                [nxf, nyf, nzf, Jx, Jy, Jz, Kx, Ky, Kz, dinv,
+                 r1x, r1y, r1z, td, wsc,
+                 active.astype(jnp.float32)], axis=0)    # (16, N)
+        CH = vals.shape[0]
         # factorized scatter: code = wb*C + slot splits into the body mask
         # (oh, thin-filtered) x the shared slot one-hot.  All B bodies'
         # masked channel stacks ride ONE (16B, N)x(N, C) contraction — the
@@ -279,16 +320,31 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
         ohr = (((iota_c == rankT) & (rankT < C)).astype(jnp.float32)
                * keepT)
         big = jnp.concatenate([vals * oh[b:b + 1] for b in range(B)],
-                              axis=0)                     # (16B, N)
-        res = jnp.dot(big, ohr, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)  # (16B, C)
+                              axis=0)                     # (CH*B, N)
+        # exact 3-way bf16 split of the data side (every f32 is the sum of
+        # three 8-bit-mantissa chunks; each output element is a SINGLE-term
+        # sum through the 0/1 one-hot, so three DEFAULT bf16 passes
+        # reconstruct the f32 HIGHEST result bitwise at half the MXU passes)
+        ohr16 = ohr.astype(jnp.bfloat16)
+        g1 = big.astype(jnp.bfloat16)
+        gr = big - g1.astype(jnp.float32)
+        g2 = gr.astype(jnp.bfloat16)
+        g3 = (gr - g2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def gscat(gk):
+            return jax.lax.dot_general(
+                gk, ohr16, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)      # (16B, C)
+
+        res = (gscat(g1) + gscat(g2)) + gscat(g3)
         for b in range(B):
             if batched:
-                packed_ref[0, :, b * C:(b + 1) * C] = res[b * 16:(b + 1) * 16]
+                packed_ref[0, :, b * C:(b + 1) * C] = res[b * CH:(b + 1) * CH]
             else:
-                packed_ref[:, b * C:(b + 1) * C] = res[b * 16:(b + 1) * 16]
+                packed_ref[:, b * C:(b + 1) * C] = res[b * CH:(b + 1) * CH]
         if B < BP:
-            zf = jnp.zeros((16, (BP - B) * C), jnp.float32)
+            zf = jnp.zeros((CH, (BP - B) * C), jnp.float32)
             if batched:
                 packed_ref[0, :, B * C:] = zf
             else:
@@ -297,15 +353,18 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("C", "directed", "mxu_dots"))
+@functools.partial(jax.jit, static_argnames=("C", "directed", "mxu_dots",
+                                             "solve_ch"))
 def _cloud_rows_call(pts_h, planes_w, planes_t, body_sc, misc, C, directed,
-                     mxu_dots=False):
+                     mxu_dots=False, solve_ch=False):
     from ..physics.pgs_kernel import _interpret
     B, P = planes_w.shape[0], planes_w.shape[1]
-    kernel = _make_kernel(B, P, C, directed, mxu_dots=mxu_dots)
+    CH = 12 if solve_ch else 16
+    kernel = _make_kernel(B, P, C, directed, mxu_dots=mxu_dots,
+                          solve_ch=solve_ch)
     packed, counts = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((16, BP * C), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((CH, BP * C), jnp.float32),
                    jax.ShapeDtypeStruct((BP, 128), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
@@ -321,23 +380,26 @@ def _bspecs(shapes):
                          memory_space=pltpu.VMEM) for sh in shapes]
 
 
-@functools.partial(jax.jit, static_argnames=("C", "directed", "mxu_dots"))
+@functools.partial(jax.jit, static_argnames=("C", "directed", "mxu_dots",
+                                             "solve_ch"))
 def _cloud_rows_call_b(pts_h, planes_w, planes_t, body_sc, misc, C, directed,
-                       mxu_dots=False):
+                       mxu_dots=False, solve_ch=False):
     """Batched (T-leading) variant with an explicit parallel grid over
     tracks — vmap-of-pallas serializes per-instance DMA against compute."""
     from ..physics.pgs_kernel import _interpret
     T = pts_h.shape[0]
     B, P = planes_w.shape[1], planes_w.shape[2]
-    kernel = _make_kernel(B, P, C, directed, mxu_dots=mxu_dots, batched=True)
+    CH = 12 if solve_ch else 16
+    kernel = _make_kernel(B, P, C, directed, mxu_dots=mxu_dots, batched=True,
+                          solve_ch=solve_ch)
     N = pts_h.shape[2]
     packed, counts = pl.pallas_call(
         kernel,
         grid=(T,),
-        out_shape=(jax.ShapeDtypeStruct((T, 16, BP * C), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((T, CH, BP * C), jnp.float32),
                    jax.ShapeDtypeStruct((T, BP, 128), jnp.float32)),
-        in_specs=_bspecs([(8, N), (B * P, 8), (5 * P, B), (BP, 8), (8, 8)]),
-        out_specs=tuple(_bspecs([(16, BP * C), (BP, 128)])),
+        in_specs=_bspecs([(8, N), (B * P, 8), (5 * P, B), (BP, 16), (8, 8)]),
+        out_specs=tuple(_bspecs([(CH, BP * C), (BP, 128)])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
             dimension_semantics=("parallel",)),
@@ -381,7 +443,7 @@ def _cloud_rows_unpacked_call_b(pts_h, planes_w, planes_t, body_sc, misc,
         kernel,
         grid=(T,),
         out_shape=(jax.ShapeDtypeStruct((T, 16, N), jnp.float32),),
-        in_specs=_bspecs([(8, N), (B * P, 8), (5 * P, B), (BP, 8), (8, 8)]),
+        in_specs=_bspecs([(8, N), (B * P, 8), (5 * P, B), (BP, 16), (8, 8)]),
         out_specs=tuple(_bspecs([(16, N)])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
@@ -403,11 +465,12 @@ def _rows_cv(kind: str, C: int, directed: bool, vals_only: bool = False):
     from jax.custom_batching import custom_vmap
     mxu = _mxu_default()
 
-    if kind == "pack":
+    if kind in ("pack", "solve"):
         @custom_vmap
         def f(pts_h, planes_w, planes_t, body_sc, misc):
             return _cloud_rows_call(pts_h, planes_w, planes_t, body_sc,
-                                    misc, C, directed, mxu_dots=mxu)
+                                    misc, C, directed, mxu_dots=mxu,
+                                    solve_ch=kind == "solve")
     else:
         @custom_vmap
         def f(pts_h, planes_w, planes_t, body_sc, misc):
@@ -421,8 +484,9 @@ def _rows_cv(kind: str, C: int, directed: bool, vals_only: bool = False):
         T = axis_size
         args = [a if b else jnp.broadcast_to(a, (T,) + a.shape)
                 for a, b in zip(args, in_batched)]
-        if kind == "pack":
-            out = _cloud_rows_call_b(*args, C, directed, mxu_dots=mxu)
+        if kind in ("pack", "solve"):
+            out = _cloud_rows_call_b(*args, C, directed, mxu_dots=mxu,
+                                     solve_ch=kind == "solve")
             return out, (True, True)
         out = _cloud_rows_unpacked_call_b(*args, directed,
                                           vals_only=vals_only, mxu_dots=mxu)
@@ -445,9 +509,18 @@ def _kernel_inputs_ph(state, model, pts_h, origin):
     # winner-block one-hot gather (contraction over bodies on lanes)
     planes_t = jnp.concatenate(
         [planes_w[:, :, c].T for c in range(4)] + [d0.T], axis=0)
-    body_sc = jnp.zeros((BP, 8), jnp.float32)
+    # body scalar columns: [pos(3), radius, force scale, massinv, iinv(9)]
+    # (iinv/massinv feed the in-kernel solve-prep channels; the same
+    # _batched_world_iinv formulation the solve prep uses, for value parity)
+    from ..physics.pgs_kernel import _batched_world_iinv
+    iinv = _batched_world_iinv(state.pose[None, :, 3:7],
+                               model.tensorinv_massless,
+                               model.massinv)[0]           # (B, 3, 3)
+    body_sc = jnp.zeros((BP, 16), jnp.float32)
     body_sc = (body_sc.at[:B, 0:3].set(state.pose[:, :3])
-               .at[:B, 3].set(model.radius_inner))
+               .at[:B, 3].set(model.radius_inner)
+               .at[:B, 5].set(model.massinv)
+               .at[:B, 6:15].set(iinv.reshape(B, 9)))
     misc = jnp.zeros((8, 8), jnp.float32).at[0, 0:3].set(origin)
     return planes_w, planes_t, body_sc, misc
 
@@ -526,18 +599,47 @@ def cloud_rows_packed_ph(state, model, pts_h, origin, scale_per_body,
     """cloud_rows_packed on the planes carrier ph (8, N) (mask = row 4)."""
     from ..physics.colored import SingleBodyLinear
 
+    packed, counts = cloud_rows_packed_planes_ph(
+        state, model, pts_h, origin, scale_per_body, slots, directed)
+    B = model.planes.shape[0]
+    x = packed.reshape(16, BP, slots).transpose(2, 1, 0)[:, :B, :]  # (C,B,16)
+    scale = x[..., 14]
+    blk = SingleBodyLinear(
+        normal=x[..., 0:3], r1=x[..., 10:13], targetdist=x[..., 13],
+        targetspeednobias=jnp.zeros_like(x[..., 13]),
+        fmin=-scale, fmax=scale, active=x[..., 15] > 0.5)
+    dropped = jnp.maximum(counts[:B, 0] - slots, 0.0)
+    return blk, dropped
+
+
+def cloud_rows_packed_planes_ph(state, model, pts_h, origin, scale_per_body,
+                                slots: int, directed: bool = True):
+    """The raw kernel output of cloud_rows_packed_ph: (16, BP*slots) packed
+    channels [n(3), J1(3), K1(3), dinv, r1(3), targetdist, scale, active]
+    (body-major slot blocks), plus the per-body counts.  Rows 0-9 are the
+    solve kernel's prepped channels (physics/fused_fit consumes them with
+    ONE transpose — no SingleBodyLinear round trip); rows 10-15 reconstruct
+    the reference-shaped block bit-identically (cloud_rows_packed_ph)."""
     B = model.planes.shape[0]
     planes_w, planes_t, body_sc, misc = _kernel_inputs_ph(
         state, model, pts_h, origin)
     body_sc = body_sc.at[:B, 4].set(jnp.broadcast_to(scale_per_body, (B,)))
-
-    packed, counts = _rows_cv("pack", slots, directed)(
+    return _rows_cv("pack", slots, directed)(
         pts_h, planes_w, planes_t, body_sc, misc)
-    x = packed.reshape(16, BP, slots).transpose(2, 1, 0)[:, :B, :]  # (C,B,16)
-    scale = x[..., 7]
-    blk = SingleBodyLinear(
-        normal=x[..., 0:3], r1=x[..., 3:6], targetdist=x[..., 6],
-        targetspeednobias=jnp.zeros_like(x[..., 6]),
-        fmin=-scale, fmax=scale, active=x[..., 8] > 0.5)
-    dropped = jnp.maximum(counts[:B, 0] - slots, 0.0)
-    return blk, dropped
+
+
+def cloud_rows_solve_ph(state, model, pts_h, origin, scale_per_body,
+                        slots: int, dt, directed: bool = True):
+    """The 12-channel solve-prep pack: (12, BP*slots) channels
+    [n(3), J1(3), K1(3), dinv, tsm, scale] + per-body counts.  Same
+    correspondence/pack as cloud_rows_packed_ph with the dominant scatter
+    matmul shrunk 16B -> 12B rows; tsm = targetdist/dt computed in-kernel.
+    Consumed by physics/fused_fit's batched rule only (the unbatched parity
+    fallback uses the 16-channel reconstruction path)."""
+    B = model.planes.shape[0]
+    planes_w, planes_t, body_sc, misc = _kernel_inputs_ph(
+        state, model, pts_h, origin)
+    body_sc = body_sc.at[:B, 4].set(jnp.broadcast_to(scale_per_body, (B,)))
+    misc = misc.at[0, 3].set(dt)
+    return _rows_cv("solve", slots, directed)(
+        pts_h, planes_w, planes_t, body_sc, misc)

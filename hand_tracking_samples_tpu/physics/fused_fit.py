@@ -34,6 +34,27 @@ from .pgs_kernel import (_batched_world_iinv, _pad_tracks, _pallas_solve,
 
 _FUSED: dict = {}
 
+BPK = 24     # ops/cloud_rows.BP — the packed block's body padding
+
+
+def _cloud_singles_planes(packed, dt, Tp):
+    """packed (T, 12, BPK*C) solve-prep channels from
+    ops/cloud_rows.cloud_rows_solve_ph -> (C, 14*BPK, Tp) singles planes,
+    value-equal to _prep_singles of the reconstructed SingleBodyLinear
+    (n/J1/K1/dinv/tsm computed in-kernel with the same FMA expressions; the
+    tsp/force channels derived here with the same ops)."""
+    T = packed.shape[0]
+    C = packed.shape[2] // BPK
+    x = packed.reshape(T, 12, BPK, C)
+    tsm = x[:, 10]
+    tsp = jnp.minimum(tsm, 0.0)                    # tsnb = 0 for cloud rows
+    f = x[:, 11] * dt                              # scale * dt (0 if empty)
+    chans = jnp.concatenate(
+        [x[:, 0:11], tsp[:, None], (-f)[:, None], f[:, None]],
+        axis=1)                                    # (T, 14, BPK, C)
+    planes = chans.transpose(3, 1, 2, 0).reshape(C, 14 * BPK, T)
+    return _pad_tracks(planes, Tp)
+
 
 def _model_np(model):
     keys = ["joint_rbi0", "joint_rbi1", "joint_p0", "joint_p1", "joint_frame",
@@ -84,8 +105,9 @@ def _unbatched_rows(state, model, params, mode, drive_force, aa,
 
 
 def _get_fused(plan_key: str, iterations: int, iterations_post: int,
-               mode: str, drive_force: float, model):
-    key = (plan_key, iterations, iterations_post, mode, drive_force)
+               mode: str, drive_force: float, model, cloud_slots: int):
+    key = (plan_key, iterations, iterations_post, mode, drive_force,
+           cloud_slots)
     if key in _FUSED:
         return _FUSED[key]
     plan = _PLANS[plan_key]
@@ -98,11 +120,22 @@ def _get_fused(plan_key: str, iterations: int, iterations_post: int,
     from jax.custom_batching import custom_vmap
 
     @custom_vmap
-    def fit(state, bodies, single_rows, aa, params):
+    def fit(state, bodies, single_rows, cloud, aa, params):
         from .colored import (StaticPairAngular, StaticPairLinear,
                               physics_update_colored)
         lin_rows, ang_rows = _unbatched_rows(state, model, params, mode,
                                              drive_force, aa, use_contacts)
+        if cloud is not None:
+            # unbatched parity fallback: the 16-channel reference-shaped
+            # reconstruction + colored solve
+            from ..ops.cloud_rows import cloud_rows_packed_ph
+            ph, origin, scale_b = cloud
+            sb_cloud, _ = cloud_rows_packed_ph(state, model, ph, origin,
+                                               scale_b, cloud_slots)
+            single_rows = (sb_cloud if single_rows is None else
+                           jax.tree.map(
+                               lambda a, b: jnp.concatenate([a, b], axis=0),
+                               single_rows, sb_cloud))
         lin_blocks = []
         if plan.CS:
             lin_blocks.append(single_rows)
@@ -124,10 +157,11 @@ def _get_fused(plan_key: str, iterations: int, iterations_post: int,
                                       iterations_post=iterations_post)
 
     @fit.def_vmap
-    def fit_vmap(axis_size, in_batched, state, bodies, single_rows, aa,
-                 params):
+    def fit_vmap(axis_size, in_batched, state, bodies, single_rows,
+                 cloud, aa, params):
         T = axis_size
-        sb_state, sb_bodies, sb_single, sb_aa, sb_params = in_batched
+        (sb_state, sb_bodies, sb_single, sb_cloud, sb_aa,
+         sb_params) = in_batched
 
         def bc(tree, tb):
             return jax.tree.map(
@@ -136,7 +170,10 @@ def _get_fused(plan_key: str, iterations: int, iterations_post: int,
                 tree, tb)
 
         state = bc(state, sb_state)
-        single_rows = bc(single_rows, sb_single) if plan.CS else single_rows
+        if single_rows is not None:
+            single_rows = bc(single_rows, sb_single)
+        if cloud is not None:
+            cloud = bc(cloud, sb_cloud)
         aa = bc(aa, sb_aa) if aa is not None else None
         bodies_u = jax.tree.map(lambda x, b: x[0] if b else x, bodies,
                                 sb_bodies)
@@ -144,8 +181,8 @@ def _get_fused(plan_key: str, iterations: int, iterations_post: int,
                                 sb_params)
         out = _fused_batched(plan, iterations, iterations_post, mode,
                              drive_force, model, model_np, pairs_np,
-                             use_contacts, state, bodies_u, single_rows, aa,
-                             params_u)
+                             use_contacts, cloud_slots, state, bodies_u,
+                             single_rows, cloud, aa, params_u)
         return out, jax.tree.map(lambda _: True, out)
 
     _FUSED[key] = fit
@@ -153,8 +190,8 @@ def _get_fused(plan_key: str, iterations: int, iterations_post: int,
 
 
 def _fused_batched(plan, iterations, iterations_post, mode, drive_force,
-                   model, model_np, pairs_np, use_contacts, state, bodies,
-                   single_rows, aa, params):
+                   model, model_np, pairs_np, use_contacts, cloud_slots,
+                   state, bodies, single_rows, cloud, aa, params):
     """The tracks-last batched rule."""
     dt = params.deltaT
     T, B = state.pose.shape[0], state.pose.shape[1]
@@ -186,9 +223,28 @@ def _fused_batched(plan, iterations, iterations_post, mode, drive_force,
     mi = _pad_tracks(jnp.broadcast_to(
         jnp.pad(bodies.massinv, (0, bp - B))[:, None], (bp, T)), Tp)
 
-    # ---- singles (caller blocks + packed cloud, already (T, C, B, ...)) ----
-    s_all = (_prep_singles(single_rows, iinv_tb, bodies.massinv, dt, Tp, bp)
-             if plan.CS else None)
+    # ---- singles ----
+    # caller blocks (ray/chamber, a handful of slots) go through the XLA
+    # prep; the packed cloud block arrives as the kernel's solve-prep
+    # channels and needs only ONE transpose to the planes layout (slot
+    # order preserved: [caller blocks][cloud], as the reference emits them)
+    s_parts = []
+    if single_rows is not None:
+        s_parts.append(_prep_singles(single_rows, iinv_tb, bodies.massinv,
+                                     dt, Tp, bp))
+    if cloud is not None:
+        from ..ops.cloud_rows import cloud_rows_solve_ph
+        ph, origin, scale_b = cloud
+        packed, _ = jax.vmap(
+            lambda s, p, o, sc: cloud_rows_solve_ph(
+                s, model, p, o, sc, cloud_slots, dt))(
+            state, ph, origin, scale_b)                  # (T, 12, BPK*C)
+        s_parts.append(_cloud_singles_planes(packed, dt, Tp))
+    s_all = (jnp.concatenate(s_parts, axis=0) if len(s_parts) > 1
+             else s_parts[0] if s_parts else None)
+    if plan.CS:
+        assert s_all is not None and s_all.shape[0] == plan.CS, (
+            plan.key, None if s_all is None else s_all.shape)
 
     # ---- pair-class channels, tracks-last ----
     lin_chans = []
@@ -290,14 +346,20 @@ def _fused_batched(plan, iterations, iterations_post, mode, drive_force,
 def fused_fit(state: BodyState, bodies, single_rows: SingleBodyLinear, aa,
               plan, params: PhysicsParams, iterations: int = 16,
               iterations_post: int = 4, mode: str = "dyn",
-              drive_force: float = 0.0, model=None) -> BodyState:
+              drive_force: float = 0.0, model=None,
+              cloud=None, cloud_slots: int = 0) -> BodyState:
     """One FitPointCloud solve on the fused tracks-last path.
 
-    single_rows: concatenated caller + cloud singles, (C = plan.CS, B, ...).
+    single_rows: caller singles (C_small, B, ...) or None.
+    cloud: (ph (8, N), origin (3,), scale_per_body (B,)) — the point planes
+    carrier; the batched rule packs it with the 12-channel solve-prep kernel
+    (ops/cloud_rows.cloud_rows_solve_ph) straight into the solve planes, the
+    unbatched parity fallback with the 16-channel reference reconstruction.
+    Slot order is [single_rows][cloud] and the total must equal plan.CS.
     aa: None for mode="dyn", else (palmq (4,), finger_clenched (5,),
     camera_q (4,)).  mode: "dyn" | "ms_angles" | "ms_noangles".
     drive_force: the ApplyAngles palm-drive torque limit (static).
     """
     fit = _get_fused(plan.key, iterations, iterations_post, mode,
-                     float(drive_force), model)
-    return fit(state, bodies, single_rows, aa, params)
+                     float(drive_force), model, cloud_slots)
+    return fit(state, bodies, single_rows, cloud, aa, params)

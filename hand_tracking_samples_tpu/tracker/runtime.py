@@ -375,9 +375,17 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
                     concat_linear(*linears), body.pose.shape[0], 4))
                 linears = []
         has_cloud = config.steps_cloudstart <= s and not config.angles_only
+        cloud_ms = None
         if has_cloud:
             mpts, mmask = mpts_all, mmask_all
-            if use_ph:
+            if use_ph and fused:
+                # the cloud rides the planes carrier into the fused solve,
+                # which packs it with the 12-channel solve-prep kernel (no
+                # SingleBodyLinear round trip per step)
+                scale_b = cloudforce * jnp.where(
+                    jnp.arange(body.pose.shape[0]) == 0, 0.1, 1.0)
+                cloud_ms = (mph_all, camera_pose[:3], scale_b)
+            elif use_ph:
                 from ..ops.cloud_rows import cloud_rows_packed_ph
                 scale_b = cloudforce * jnp.where(
                     jnp.arange(body.pose.shape[0]) == 0, 0.1, 1.0)
@@ -415,6 +423,7 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
                        pose_quat(camera_pose)),
                 "drive_force": (10000.0 if s < config.steps_palmangle
                                 else 0.0),
+                "cloud": cloud_ms,
             }
         else:
             armdir = qrot(pose_quat(camera_pose), jnp.asarray([0.0, -1, 0]))
@@ -432,6 +441,8 @@ def multi_step_sim(body: BodyState, model, analysis: CNNAnalysis,
         if kernel:
             from ..physics.pgs_kernel import build_multistep_plan
             cs = sum(int(b.targetdist.shape[0]) for b in single_blocks)
+            if cloud_ms is not None:
+                cs += config.cloud_rows_per_body
             plan = build_multistep_plan(model, cs, has_angles,
                                         config.contacts_mode,
                                         bool(config.physics_use_collision))
@@ -545,12 +556,13 @@ def _get_reset_entry(config: TrackerConfig, use_ph: bool = False):
 
             return jax.lax.cond(jnp.any(pred_b), do, lambda bdd: bdd, bd)
 
-        # shard the any-pred gate over 128-track blocks: resets are rare but
+        # shard the any-pred gate over 64-track blocks: resets are rare but
         # with hundreds of tracks SOME track resets most heavy frames, so a
         # whole-batch cond degenerates to always-on (the reset branch is
         # ~17 ms/frame at T=512 on-chip).  Per-block conds skip the blocks
-        # with no resetting track.
-        TB = 128
+        # with no resetting track.  (r5: 128 -> 64 halves the tracks that
+        # pay a firing block; device trace cond.* 10.2 -> measure.)
+        TB = 64
         if T % TB == 0 and T > TB:
             G = T // TB
             rs = lambda tree: jax.tree.map(
