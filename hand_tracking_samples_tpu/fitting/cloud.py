@@ -230,7 +230,9 @@ def fit_error(state: BodyState, model, points, point_mask, depth, depth_cam,
         body, val = closest_vals(state, model, points)
     contrib = jnp.where(point_mask, val, -jnp.inf)
     # per-body max as a masked reduction over a (B, N) one-hot — a scatter-max
-    # (.at[body].max) costs ~10x more than the whole correspondence on TPU
+    # (.at[body].max) costs ~10x more than the whole correspondence on TPU.
+    # (An in-kernel per-body masked lane max was measured SLOWER: the
+    # cross-lane reduce cost +1.6 ms/call vs this fused XLA epilogue.)
     oh = jnp.arange(B, dtype=body.dtype)[:, None] == body[None, :]
     pointerror = jnp.where(oh, contrib[None, :], -jnp.inf).max(axis=1)
     point_error_sum = jnp.maximum(pointerror, 0.0).sum()

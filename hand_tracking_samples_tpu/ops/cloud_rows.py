@@ -20,7 +20,6 @@ planes of one hull would blend normals — measure-zero for fp dots).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -31,55 +30,44 @@ BP = 24          # body slots (17 padded)
 FLT_MAX = 3.4028235e38
 
 
-def _mxu_default() -> bool:
-    return os.environ.get("HTS_CLOUD_MXU_DOTS", "0") == "1"
-
-
-
 def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
-                 vals_only: bool = False, mxu_dots: bool = False,
-                 batched: bool = False, solve_ch: bool = False):
+                 vals_only: bool = False, batched: bool = False,
+                 solve_ch: bool = False):
     """solve_ch: pack ONLY the 12 solve-prep channels
     [n(3), J1(3), K1(3), dinv, tsm, scale] (the fused path's consumption
     set — tsp/force limits derive outside) instead of the 16-channel
     parity set; shrinks the dominant scatter matmul 16B -> 12B rows."""
 
-    def kernel(pts_ref, planes_ref, planest_ref, body_ref, misc_ref,
+    def kernel(pts_ref, planest_ref, body_ref, misc_ref,
                packed_ref, counts_ref=None):
         if batched:          # (1, ...) leading block dim per grid instance
             pts = pts_ref[0]
-            pw_all = planes_ref[0]
             pt5 = planest_ref[0]
             body = body_ref[0]
             misc = misc_ref[0]
         else:
             pts = pts_ref[:]                              # (8, N)
-            pw_all = planes_ref[:]                        # (B*P, 8)
             pt5 = planest_ref[:]                          # (5P, B)
             body = body_ref[:]
             misc = misc_ref[:]
         N = pts.shape[1]
         p3 = pts[0:3]
         mask = pts[4:5]                                   # (1, N) 0/1
-        if mxu_dots:
-            # measured SLOWER on v5e (bf16x6 HIGHEST decomposition beats the
-            # 4-pass FMA form only on paper): vals 13.1 -> 23.1 ms/frame at
-            # T=512.  Kept behind HTS_CLOUD_MXU_DOTS=1 as the measured
-            # counter-example; default is the elementwise form below
-            dots_all = jax.lax.dot_general(
-                pw_all[:, 0:4], pts[0:4],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # (B*P, N)
-        else:
-            # exact-f32 FMA fallback (pts[3] == 1.0 rides the d term)
-            dots_all = (pw_all[:, 0:1] * p3[0:1] + pw_all[:, 1:2] * p3[1:2]
-                        + pw_all[:, 2:3] * p3[2:3] + pw_all[:, 3:4])
 
-        # hull most-above candidate VALUES per body
-        hvals = jnp.concatenate(
-            [jnp.max(dots_all[b * P:(b + 1) * P], axis=0, keepdims=True)
-             for b in range(B)], axis=0)                  # (B, N)
+        # hull most-above candidate VALUES per body, straight from the
+        # (5P, B) channel input: body b's coefficients are LANE COLUMNS
+        # (P, 1) of each channel slab — no (B*P, 8) row-major input (its
+        # XLA production cost a pathological ~0.6 ms relayout copy per
+        # call at T=512) and no in-kernel transpose.  Same FMA chain and
+        # per-body max set as the old bulk (B*P, N) dots, on perfectly
+        # tiled (P, N) slabs.
+        hvals = jnp.concatenate([
+            jnp.max(pt5[0 * P:1 * P, b:b + 1] * p3[0:1]
+                    + pt5[1 * P:2 * P, b:b + 1] * p3[1:2]
+                    + pt5[2 * P:3 * P, b:b + 1] * p3[2:3]
+                    + pt5[3 * P:4 * P, b:b + 1],
+                    axis=0, keepdims=True)
+            for b in range(B)], axis=0)                   # (B, N)
 
         ox = misc[0, 0]
         oy = misc[0, 1]
@@ -353,25 +341,23 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("C", "directed", "mxu_dots",
-                                             "solve_ch"))
-def _cloud_rows_call(pts_h, planes_w, planes_t, body_sc, misc, C, directed,
-                     mxu_dots=False, solve_ch=False):
+@functools.partial(jax.jit, static_argnames=("C", "directed", "solve_ch"))
+def _cloud_rows_call(pts_h, planes_t, body_sc, misc, C, directed,
+                     solve_ch=False):
     from ..physics.pgs_kernel import _interpret
-    B, P = planes_w.shape[0], planes_w.shape[1]
+    P, B = planes_t.shape[0] // 5, planes_t.shape[1]
     CH = 12 if solve_ch else 16
-    kernel = _make_kernel(B, P, C, directed, mxu_dots=mxu_dots,
-                          solve_ch=solve_ch)
+    kernel = _make_kernel(B, P, C, directed, solve_ch=solve_ch)
     packed, counts = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((CH, BP * C), jnp.float32),
                    jax.ShapeDtypeStruct((BP, 128), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 2,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=_interpret(),
-    )(pts_h, planes_w.reshape(B * P, -1), planes_t, body_sc, misc)
+    )(pts_h, planes_t, body_sc, misc)
     return packed, counts
 
 
@@ -380,17 +366,16 @@ def _bspecs(shapes):
                          memory_space=pltpu.VMEM) for sh in shapes]
 
 
-@functools.partial(jax.jit, static_argnames=("C", "directed", "mxu_dots",
-                                             "solve_ch"))
-def _cloud_rows_call_b(pts_h, planes_w, planes_t, body_sc, misc, C, directed,
-                       mxu_dots=False, solve_ch=False):
+@functools.partial(jax.jit, static_argnames=("C", "directed", "solve_ch"))
+def _cloud_rows_call_b(pts_h, planes_t, body_sc, misc, C,
+                       directed, solve_ch=False):
     """Batched (T-leading) variant with an explicit parallel grid over
     tracks — vmap-of-pallas serializes per-instance DMA against compute."""
     from ..physics.pgs_kernel import _interpret
     T = pts_h.shape[0]
-    B, P = planes_w.shape[1], planes_w.shape[2]
+    P, B = planes_t.shape[1] // 5, planes_t.shape[2]
     CH = 12 if solve_ch else 16
-    kernel = _make_kernel(B, P, C, directed, mxu_dots=mxu_dots, batched=True,
+    kernel = _make_kernel(B, P, C, directed, batched=True,
                           solve_ch=solve_ch)
     N = pts_h.shape[2]
     packed, counts = pl.pallas_call(
@@ -398,58 +383,55 @@ def _cloud_rows_call_b(pts_h, planes_w, planes_t, body_sc, misc, C, directed,
         grid=(T,),
         out_shape=(jax.ShapeDtypeStruct((T, CH, BP * C), jnp.float32),
                    jax.ShapeDtypeStruct((T, BP, 128), jnp.float32)),
-        in_specs=_bspecs([(8, N), (B * P, 8), (5 * P, B), (BP, 16), (8, 8)]),
+        in_specs=_bspecs([(8, N), (5 * P, B), (BP, 16), (8, 8)]),
         out_specs=tuple(_bspecs([(CH, BP * C), (BP, 128)])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
             dimension_semantics=("parallel",)),
         interpret=_interpret(),
-    )(pts_h, planes_w.reshape(T, B * P, 8), planes_t, body_sc, misc)
+    )(pts_h, planes_t, body_sc, misc)
     return packed, counts
 
 
-@functools.partial(jax.jit, static_argnames=("directed", "vals_only",
-                                              "mxu_dots"))
-def _cloud_rows_unpacked_call(pts_h, planes_w, planes_t, body_sc, misc,
-                              directed, vals_only=False, mxu_dots=False):
+@functools.partial(jax.jit, static_argnames=("directed", "vals_only"))
+def _cloud_rows_unpacked_call(pts_h, planes_t, body_sc, misc,
+                              directed, vals_only=False):
     from ..physics.pgs_kernel import _interpret
-    B, P = planes_w.shape[0], planes_w.shape[1]
+    P, B = planes_t.shape[0] // 5, planes_t.shape[1]
     N = pts_h.shape[1]
-    kernel = _make_kernel(B, P, 0, directed, pack=False, vals_only=vals_only,
-                          mxu_dots=mxu_dots)
+    kernel = _make_kernel(B, P, 0, directed, pack=False, vals_only=vals_only)
     (vals,) = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((16, N), jnp.float32),),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=_interpret(),
-    )(pts_h, planes_w.reshape(B * P, -1), planes_t, body_sc, misc)
+    )(pts_h, planes_t, body_sc, misc)
     return vals
 
 
-@functools.partial(jax.jit, static_argnames=("directed", "vals_only",
-                                              "mxu_dots"))
-def _cloud_rows_unpacked_call_b(pts_h, planes_w, planes_t, body_sc, misc,
-                                directed, vals_only=False, mxu_dots=False):
+@functools.partial(jax.jit, static_argnames=("directed", "vals_only"))
+def _cloud_rows_unpacked_call_b(pts_h, planes_t, body_sc, misc,
+                                directed, vals_only=False):
     from ..physics.pgs_kernel import _interpret
     T = pts_h.shape[0]
-    B, P = planes_w.shape[1], planes_w.shape[2]
+    P, B = planes_t.shape[1] // 5, planes_t.shape[2]
     N = pts_h.shape[2]
     kernel = _make_kernel(B, P, 0, directed, pack=False, vals_only=vals_only,
-                          mxu_dots=mxu_dots, batched=True)
+                          batched=True)
     (vals,) = pl.pallas_call(
         kernel,
         grid=(T,),
         out_shape=(jax.ShapeDtypeStruct((T, 16, N), jnp.float32),),
-        in_specs=_bspecs([(8, N), (B * P, 8), (5 * P, B), (BP, 16), (8, 8)]),
+        in_specs=_bspecs([(8, N), (5 * P, B), (BP, 16), (8, 8)]),
         out_specs=tuple(_bspecs([(16, N)])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
             dimension_semantics=("parallel",)),
         interpret=_interpret(),
-    )(pts_h, planes_w.reshape(T, B * P, 8), planes_t, body_sc, misc)
+    )(pts_h, planes_t, body_sc, misc)
     return vals
 
 
@@ -459,25 +441,23 @@ _ROWS_CV: dict = {}
 def _rows_cv(kind: str, C: int, directed: bool, vals_only: bool = False):
     """custom_vmap entries so the TRACKS vmap lowers to the explicit
     parallel-grid batched calls instead of vmap-of-pallas."""
-    key = (kind, C, directed, vals_only, _mxu_default())
+    key = (kind, C, directed, vals_only)
     if key in _ROWS_CV:
         return _ROWS_CV[key]
     from jax.custom_batching import custom_vmap
-    mxu = _mxu_default()
 
     if kind in ("pack", "solve"):
         @custom_vmap
-        def f(pts_h, planes_w, planes_t, body_sc, misc):
-            return _cloud_rows_call(pts_h, planes_w, planes_t, body_sc,
-                                    misc, C, directed, mxu_dots=mxu,
+        def f(pts_h, planes_t, body_sc, misc):
+            return _cloud_rows_call(pts_h, planes_t, body_sc,
+                                    misc, C, directed,
                                     solve_ch=kind == "solve")
     else:
         @custom_vmap
-        def f(pts_h, planes_w, planes_t, body_sc, misc):
-            return _cloud_rows_unpacked_call(pts_h, planes_w, planes_t,
+        def f(pts_h, planes_t, body_sc, misc):
+            return _cloud_rows_unpacked_call(pts_h, planes_t,
                                              body_sc, misc, directed,
-                                             vals_only=vals_only,
-                                             mxu_dots=mxu)
+                                             vals_only=vals_only)
 
     @f.def_vmap
     def f_vmap(axis_size, in_batched, *args):
@@ -485,11 +465,11 @@ def _rows_cv(kind: str, C: int, directed: bool, vals_only: bool = False):
         args = [a if b else jnp.broadcast_to(a, (T,) + a.shape)
                 for a, b in zip(args, in_batched)]
         if kind in ("pack", "solve"):
-            out = _cloud_rows_call_b(*args, C, directed, mxu_dots=mxu,
+            out = _cloud_rows_call_b(*args, C, directed,
                                      solve_ch=kind == "solve")
             return out, (True, True)
         out = _cloud_rows_unpacked_call_b(*args, directed,
-                                          vals_only=vals_only, mxu_dots=mxu)
+                                          vals_only=vals_only)
         return out, True
 
     _ROWS_CV[key] = f
@@ -498,17 +478,43 @@ def _rows_cv(kind: str, C: int, directed: bool, vals_only: bool = False):
 
 def _kernel_inputs_ph(state, model, pts_h, origin):
     """Shared prep with the point planes ph (8, N) [x, y, z, 1, mask, ...]
-    already in the kernel's native layout (no (N, 3) relayout)."""
-    from .correspondence import world_planes
+    already in the kernel's native layout (no (N, 3) relayout).
+
+    The world-plane transform (Pose::TransformPlane) is computed CHANNEL-
+    MAJOR: every op runs on (P, B) slabs with (1, B) quaternion/position
+    broadcasts, emitting the kernel's (5P, B) planes_t input natively.  The
+    old route built (B, P, 8) row-major planes and transposed — a
+    pathological minor-dim relayout copy (~0.6 ms/call at T=512).  The qrot
+    expansion mirrors maths.quat.qrot term for term (t = 2 qv x v;
+    v + w t + qv x t) and the d/d0 sums keep the same association order as
+    world_planes/einsum, so values are unchanged."""
     B = model.planes.shape[0]
-    planes_w = world_planes(state.pose, model)            # (B, P, 8)
-    d0 = (jnp.einsum("bpk,k->bp", planes_w[..., :3], origin)
-          + planes_w[..., 3])
-    d0 = jnp.where(model.plane_mask, d0, -1.0)             # (B, P)
-    # (5P, B) channel rows [n.x | n.y | n.z | d | d0] for the in-kernel
-    # winner-block one-hot gather (contraction over bodies on lanes)
-    planes_t = jnp.concatenate(
-        [planes_w[:, :, c].T for c in range(4)] + [d0.T], axis=0)
+    pl_c = jnp.asarray(model.planes)                       # (B, P, 4) const
+    nlx = pl_c[..., 0].T                                   # (P, B) constants
+    nly = pl_c[..., 1].T
+    nlz = pl_c[..., 2].T
+    dl = pl_c[..., 3].T
+    mask_t = jnp.asarray(model.plane_mask).T               # (P, B) const
+    q = state.pose[:, 3:7]
+    qx, qy, qz, qw = (q[:, 0][None], q[:, 1][None], q[:, 2][None],
+                      q[:, 3][None])                       # (1, B)
+    tx = 2.0 * (qy * nlz - qz * nly)
+    ty = 2.0 * (qz * nlx - qx * nlz)
+    tz = 2.0 * (qx * nly - qy * nlx)
+    wnx = nlx + qw * tx + (qy * tz - qz * ty)
+    wny = nly + qw * ty + (qz * tx - qx * tz)
+    wnz = nlz + qw * tz + (qx * ty - qy * tx)
+    px = state.pose[:, 0][None]
+    py = state.pose[:, 1][None]
+    pz = state.pose[:, 2][None]
+    wnx = jnp.where(mask_t, wnx, 0.0)
+    wny = jnp.where(mask_t, wny, 0.0)
+    wnz = jnp.where(mask_t, wnz, 0.0)
+    ww = dl - (px * wnx + py * wny + pz * wnz)
+    ww = jnp.where(mask_t, ww, -1e9)
+    d0 = (origin[0] * wnx + origin[1] * wny + origin[2] * wnz) + ww
+    d0 = jnp.where(mask_t, d0, -1.0)
+    planes_t = jnp.concatenate([wnx, wny, wnz, ww, d0], axis=0)  # (5P, B)
     # body scalar columns: [pos(3), radius, force scale, massinv, iinv(9)]
     # (iinv/massinv feed the in-kernel solve-prep channels; the same
     # _batched_world_iinv formulation the solve prep uses, for value parity)
@@ -522,7 +528,7 @@ def _kernel_inputs_ph(state, model, pts_h, origin):
                .at[:B, 5].set(model.massinv)
                .at[:B, 6:15].set(iinv.reshape(B, 9)))
     misc = jnp.zeros((8, 8), jnp.float32).at[0, 0:3].set(origin)
-    return planes_w, planes_t, body_sc, misc
+    return planes_t, body_sc, misc
 
 
 def points_planes(points, point_mask):
@@ -535,9 +541,8 @@ def points_planes(points, point_mask):
 
 def _kernel_inputs(state, model, points, point_mask, origin):
     pts_h = points_planes(points, point_mask)
-    planes_w, planes_t, body_sc, misc = _kernel_inputs_ph(state, model,
-                                                          pts_h, origin)
-    return planes_w, planes_t, pts_h, body_sc, misc
+    planes_t, body_sc, misc = _kernel_inputs_ph(state, model, pts_h, origin)
+    return planes_t, pts_h, body_sc, misc
 
 
 def cloud_vals(state, model, points, point_mask):
@@ -549,10 +554,10 @@ def cloud_vals(state, model, points, point_mask):
 
 def cloud_vals_ph(state, model, pts_h):
     """cloud_vals on the planes carrier ph (8, N) (mask = row 4)."""
-    planes_w, planes_t, body_sc, misc = _kernel_inputs_ph(
+    planes_t, body_sc, misc = _kernel_inputs_ph(
         state, model, pts_h, jnp.zeros(3, jnp.float32))
     vals = _rows_cv("unpacked", 0, False, vals_only=True)(
-        pts_h, planes_w, planes_t, body_sc, misc)
+        pts_h, planes_t, body_sc, misc)
     return vals[1].astype(jnp.int32), vals[0]
 
 
@@ -563,10 +568,9 @@ def cloud_rows_unibody(state, model, points, point_mask, origin, uni_pos,
     point-slot order on body 0 with r1 measured from `uni_pos` and force
     limits +-force.  Returns a SingleBodyLinear block with B=1."""
     from ..physics.colored import SingleBodyLinear
-    planes_w, planes_t, pts_h, body_sc, misc = _kernel_inputs(
+    planes_t, pts_h, body_sc, misc = _kernel_inputs(
         state, model, points, point_mask, origin)
-    vals = _rows_cv("unpacked", 0, True)(pts_h, planes_w, planes_t, body_sc,
-                                         misc)
+    vals = _rows_cv("unpacked", 0, True)(pts_h, planes_t, body_sc, misc)
     x = vals.T                                             # (N, 16)
     n, w1, td = x[:, 0:3], x[:, 3:6], x[:, 6]
     act = x[:, 7] > 0.5
@@ -621,11 +625,11 @@ def cloud_rows_packed_planes_ph(state, model, pts_h, origin, scale_per_body,
     ONE transpose — no SingleBodyLinear round trip); rows 10-15 reconstruct
     the reference-shaped block bit-identically (cloud_rows_packed_ph)."""
     B = model.planes.shape[0]
-    planes_w, planes_t, body_sc, misc = _kernel_inputs_ph(
+    planes_t, body_sc, misc = _kernel_inputs_ph(
         state, model, pts_h, origin)
     body_sc = body_sc.at[:B, 4].set(jnp.broadcast_to(scale_per_body, (B,)))
     return _rows_cv("pack", slots, directed)(
-        pts_h, planes_w, planes_t, body_sc, misc)
+        pts_h, planes_t, body_sc, misc)
 
 
 def cloud_rows_solve_ph(state, model, pts_h, origin, scale_per_body,
@@ -637,9 +641,9 @@ def cloud_rows_solve_ph(state, model, pts_h, origin, scale_per_body,
     Consumed by physics/fused_fit's batched rule only (the unbatched parity
     fallback uses the 16-channel reconstruction path)."""
     B = model.planes.shape[0]
-    planes_w, planes_t, body_sc, misc = _kernel_inputs_ph(
+    planes_t, body_sc, misc = _kernel_inputs_ph(
         state, model, pts_h, origin)
     body_sc = body_sc.at[:B, 4].set(jnp.broadcast_to(scale_per_body, (B,)))
     misc = misc.at[0, 3].set(dt)
     return _rows_cv("solve", slots, directed)(
-        pts_h, planes_w, planes_t, body_sc, misc)
+        pts_h, planes_t, body_sc, misc)
