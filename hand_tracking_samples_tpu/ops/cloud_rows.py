@@ -43,13 +43,17 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
         if batched:          # (1, ...) leading block dim per grid instance
             pts = pts_ref[0]
             pt5 = planest_ref[0]
-            body = body_ref[0]
+            body16 = body_ref[0]
             misc = misc_ref[0]
         else:
             pts = pts_ref[:]                              # (8, N)
             pt5 = planest_ref[:]                          # (5P, B)
-            body = body_ref[:]
+            body16 = body_ref[:]                          # (16, BP) rows
             misc = misc_ref[:]
+        # the body scalars arrive as (16, BP) channel ROWS (natural stack
+        # layout in XLA — the old (BP, 16) column form cost ~0.6 ms of
+        # .at-chain relayout per call at T=512); one tiny transpose here
+        body = jnp.swapaxes(body16, 0, 1)                 # (BP, 16)
         N = pts.shape[1]
         p3 = pts[0:3]
         mask = pts[4:5]                                   # (1, N) 0/1
@@ -383,7 +387,7 @@ def _cloud_rows_call_b(pts_h, planes_t, body_sc, misc, C,
         grid=(T,),
         out_shape=(jax.ShapeDtypeStruct((T, CH, BP * C), jnp.float32),
                    jax.ShapeDtypeStruct((T, BP, 128), jnp.float32)),
-        in_specs=_bspecs([(8, N), (5 * P, B), (BP, 16), (8, 8)]),
+        in_specs=_bspecs([(8, N), (5 * P, B), (16, BP), (8, 8)]),
         out_specs=tuple(_bspecs([(CH, BP * C), (BP, 128)])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
@@ -425,7 +429,7 @@ def _cloud_rows_unpacked_call_b(pts_h, planes_t, body_sc, misc,
         kernel,
         grid=(T,),
         out_shape=(jax.ShapeDtypeStruct((T, 16, N), jnp.float32),),
-        in_specs=_bspecs([(8, N), (5 * P, B), (BP, 16), (8, 8)]),
+        in_specs=_bspecs([(8, N), (5 * P, B), (16, BP), (8, 8)]),
         out_specs=tuple(_bspecs([(16, N)])),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
@@ -522,11 +526,14 @@ def _kernel_inputs_ph(state, model, pts_h, origin):
     iinv = _batched_world_iinv(state.pose[None, :, 3:7],
                                model.tensorinv_massless,
                                model.massinv)[0]           # (B, 3, 3)
-    body_sc = jnp.zeros((BP, 16), jnp.float32)
-    body_sc = (body_sc.at[:B, 0:3].set(state.pose[:, :3])
-               .at[:B, 3].set(model.radius_inner)
-               .at[:B, 5].set(model.massinv)
-               .at[:B, 6:15].set(iinv.reshape(B, 9)))
+    zb = jnp.zeros(B, jnp.float32)
+    rows = [state.pose[:, 0], state.pose[:, 1], state.pose[:, 2],
+            jnp.broadcast_to(jnp.asarray(model.radius_inner), (B,)),
+            zb,                                            # force scale slot
+            jnp.broadcast_to(jnp.asarray(model.massinv), (B,))]
+    rows += [iinv[:, i, j] for i in range(3) for j in range(3)]
+    rows.append(zb)
+    body_sc = jnp.pad(jnp.stack(rows, axis=0), ((0, 0), (0, BP - B)))
     misc = jnp.zeros((8, 8), jnp.float32).at[0, 0:3].set(origin)
     return planes_t, body_sc, misc
 
@@ -627,7 +634,7 @@ def cloud_rows_packed_planes_ph(state, model, pts_h, origin, scale_per_body,
     B = model.planes.shape[0]
     planes_t, body_sc, misc = _kernel_inputs_ph(
         state, model, pts_h, origin)
-    body_sc = body_sc.at[:B, 4].set(jnp.broadcast_to(scale_per_body, (B,)))
+    body_sc = body_sc.at[4, :B].set(jnp.broadcast_to(scale_per_body, (B,)))
     return _rows_cv("pack", slots, directed)(
         pts_h, planes_t, body_sc, misc)
 
@@ -643,7 +650,7 @@ def cloud_rows_solve_ph(state, model, pts_h, origin, scale_per_body,
     B = model.planes.shape[0]
     planes_t, body_sc, misc = _kernel_inputs_ph(
         state, model, pts_h, origin)
-    body_sc = body_sc.at[:B, 4].set(jnp.broadcast_to(scale_per_body, (B,)))
+    body_sc = body_sc.at[4, :B].set(jnp.broadcast_to(scale_per_body, (B,)))
     misc = misc.at[0, 3].set(dt)
     return _rows_cv("solve", slots, directed)(
         pts_h, planes_t, body_sc, misc)

@@ -203,10 +203,30 @@ def _make_kernel(plan: SolvePlan, iterations: int, iterations_post: int):
                      for cls in lin_classes]
 
         mi = mi_ref[:]                                  # (BP, T)
+        sact_ref = None
         if CS:
             isum_s_ref[:] = jnp.zeros(isum_s_ref.shape, isum_s_ref.dtype)
+            sact_ref = refs[-1]
         for r in lin_isum + ang_torq:
             r[:] = jnp.zeros(r.shape, r.dtype)
+
+        if CS:
+            # dynamic slot-loop bound: a slot whose dinv plane is all-zero
+            # across the block is an EXACT no-op (imp = 0 clamped into
+            # [fmin, fmax] with fmin <= 0 <= fmax always), and the packed
+            # cloud block fills slots 0..count-1 per body, so activity is a
+            # PREFIX of the slot range — the 20-sweep loop runs to the last
+            # active slot instead of CS.  In the MultiStepSim solves the
+            # subsample fills ~10-30 of the 128 per-body slots, so most
+
+            # slot steps vanish.  Computed once (poses are constant during
+            # a solve; a per-slot lax.cond was measured SLOWER — it breaks
+            # the fori pipeline).
+            nact = jnp.int32(0)
+            for c in range(CS):
+                act_c = jnp.sum(jnp.abs(s_ref[c, 9 * BP:10 * BP])) > 0
+                nact = jnp.where(act_c, jnp.int32(c + 1), nact)
+            sact_ref[0] = nact
 
         # per-group activity for contact classes (rows inactive -> dinv 0):
         # most collide pairs never touch, so whole precedence groups skip
@@ -377,8 +397,9 @@ def _make_kernel(plan: SolvePlan, iterations: int, iterations_post: int):
         def make_sweep(post):
             def body(_, mom):
                 if CS:
-                    mom = chunked(CS, lambda c, m: single_slot(c, m, post),
-                                  mom, unroll_cs)
+                    mom = jax.lax.fori_loop(
+                        0, sact_ref[0],
+                        lambda c, m: single_slot(c, m, post), mom)
                 for cls, refs, isr, gref in zip(lin_classes, lin_refs,
                                                 lin_isum, gact_refs):
                     step = functools.partial(lin_group, cls, refs, isr,
@@ -451,6 +472,9 @@ def _pallas_solve(plan: SolvePlan, iterations: int, iterations_post: int,
     for cls in plan.lin_classes:
         if cls.friction:
             scratch.append(pltpu.SMEM((cls.n_groups,), jnp.int32))
+    if plan.CS:
+        # the dynamic slot-loop bound (last active slot + 1)
+        scratch.append(pltpu.SMEM((1,), jnp.int32))
 
     return pl.pallas_call(
         kernel,
