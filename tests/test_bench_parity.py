@@ -57,7 +57,11 @@ def test_bench_config_dyntrack_golden(golden, hand_model, bank):
     test_tracker_e2e).  Calibrated headroom: measured devs 0.09-0.86 mm."""
     config = _bench_row_config(solver="colored")
     params = physics_params(config)
-    ref = np.array(golden["dyntrack_poses"], np.float32).reshape(30, 17, 7)
+    # the committed golden now runs 64 frames (GG_NDYN, r5); this CPU gate
+    # keeps the 30-frame window — the full horizon is pinned on the real
+    # chip by eval/dyntrack_kernel_r*.json (test_eval_artifacts)
+    ref = np.array(golden["dyntrack_poses"],
+                   np.float32).reshape(-1, 17, 7)[:30]
     depths = cached_fake_depths(hand_model, np.asarray(bank[:30])[:, None],
                                 "dyn30")
     states = batched_tracker_state(hand_model, 1)

@@ -856,7 +856,9 @@ int main(int argc, char **argv) {
             tracked.SetPose(bank[0]);
             std::vector<Pose> dposes;
             std::vector<float> derr;
-            const int NDYN = 30;
+            // GG_NDYN extends the horizon (r5: 64 frames to show the
+            // compiled-kernel deviation plateau, VERDICT r4 item 4)
+            const int NDYN = getenv("GG_NDYN") ? atoi(getenv("GG_NDYN")) : 30;
             for (int f = 0; f < NDYN; f++) {
                 fakehand.SetPose(bank[f]);
                 auto dimage = fake_depth(fakehand);
