@@ -487,7 +487,13 @@ def _pallas_solve(plan: SolvePlan, iterations: int, iterations_post: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
             # track blocks are independent: parallel semantics double-buffers
-            # the grid-step DMA (the default serializes DMA against compute)
+            # the grid-step DMA (the default serializes DMA against compute).
+            # NOTE the VMEM envelope: cap 256 plans (singles window 45
+            # MB/block) exceed VMEM once T > 128 makes the grid > 1 and
+            # windows double-buffer (Mosaic buffers windowed inputs under
+            # either semantics — measured r5); at T <= 128 the grid is 1,
+            # nothing is windowed, and cap 256 fits.  docs/PERFORMANCE.md
+            # round-5 records the recorded-data accuracy ablation.
             dimension_semantics=("parallel",)),
         interpret=interpret,
     )(*inputs)

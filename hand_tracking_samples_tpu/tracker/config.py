@@ -69,6 +69,13 @@ class TrackerConfig:
     # under it are reflected back into the scene and the coplanar band is
     # dropped (misc_image.h:480-485 MirrorPlaneSplit; the reference parses
     # mplane from datasets — dcam.h mirror rigs).  Empty = no mirror.
+    init_take_gated: bool = False   # during the initializing window the
+    # reference takes the CNN pose unconditionally (handtrack.h:714-726);
+    # True gates the take on the CNN refit not worsening FitError.
+    # MEASURED round 5 (cold-start 64x64 protocol): no help — 70.3% <8mm
+    # vs 71.9% ungated, identical failing-start set; the wrong-basin CNN
+    # readings pass the FitError gate too (docs/PERFORMANCE.md round-5
+    # cold-start section).  Kept as a config lever, default off.
 
     def load_json(self, path: str) -> "TrackerConfig":
         """HandTracker::load_config (handtrack.h:822-828)."""

@@ -656,7 +656,11 @@ def update_cnn_model(state: TrackerState, model, cnn_params, depth,
 
     prev = jnp.where(newerror > olderror, 0.0,
                      state.prev_frame_error + (olderror - newerror))
-    take = (((vmask.sum() > config.min_point_num) & (state.initializing > 0))
+    init_take = ((vmask.sum() > config.min_point_num)
+                 & (state.initializing > 0))
+    if config.init_take_gated:
+        init_take = init_take & (newerror <= olderror)
+    take = (init_take
             | jnp.asarray(config.always_take_cnn)
             | jnp.asarray(config.angles_only)
             | (prev > config.accum_error_threshold))
