@@ -122,6 +122,33 @@ def main():
     for n, (ms, cnt) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:40]:
         print(f"{ms:9.2f} ms  {ms / F:8.3f}/frame  x{cnt:4d}  {n[:90]}")
 
+    # ---- source-line attribution (PROF_BY_SOURCE=1): every device op's
+    # args carry a `source_stack`; aggregating by the topmost repo frame
+    # attributes the ENTIRE frame including the long tail of small fusions
+    # the name-ranked view hides.  This view found the round-5 wins
+    # (the body_sc relayout chain, the planes_t transposes).
+    if os.environ.get("PROF_BY_SOURCE", "1") == "1":
+        by_src = {}
+        for e in evs:
+            if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
+                continue
+            name = e.get("name", "")
+            if name.startswith("jit_") or name.startswith("while.") \
+                    and e.get("dur", 0) > 1e5:
+                continue                       # container events
+            args = e.get("args", {})
+            src = "?"
+            for ln in args.get("source_stack", "").split("\n"):
+                if "/hand_tracking_samples_tpu/" in ln:
+                    src = ln.strip()
+                    break
+            if src == "?":
+                src = args.get("source", name)
+            by_src[src] = by_src.get(src, 0.0) + e.get("dur", 0) / 1e3
+        print("\n-- by source line (ms/frame) --")
+        for src, ms in sorted(by_src.items(), key=lambda kv: -kv[1])[:30]:
+            print(f"{ms / F:8.3f}  {src}")
+
 
 if __name__ == "__main__":
     main()
