@@ -5,7 +5,8 @@ Fuses, per point (physmodel.h:137-181 + the pack step of physics/colored.py):
   ConvexHitCheck   — slab clip of the camera ray against the winner's hull
   CloudConstraint  — row geometry (normal / lever / targetdist / force scale)
   slot packing     — per-body rank (roll-based lane cumsum) and the (slot,
-                     body) scatter as ONE one-hot matmul on the MXU
+                     body) scatter as exact 3-way-bf16-split one-hot
+                     matmuls on the MXU
 
 so the only HBM traffic is the inputs (points + world planes) and the packed
 (slots, bodies, channels) block.  The XLA formulation materialises several
@@ -132,8 +133,8 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
         # winner one-hot reconstruct the winner's plane block BITWISE — the
         # old 17-iteration (P, N) select chain was ~half the kernel's VPU
         # cycles.  dw is then recomputed with the same FMA expression as
-        # dots_all (identical values and op order -> identical bits, so the
-        # ohm == compare below still matches exactly).
+        # the hvals dots (identical values and op order -> identical bits,
+        # so the ohm == compare below still matches exactly).
         ohb16 = ohb.astype(jnp.bfloat16)                  # (B, N) 0/1
         h1 = pt5.astype(jnp.bfloat16)
         r1 = pt5 - h1.astype(jnp.float32)
@@ -157,10 +158,11 @@ def _make_kernel(B: int, P: int, C: int, directed: bool, pack: bool = True,
         # hull-winner normal: mean of the winner body's maximal planes
         # (same blend-on-ties semantics as the reference's mostabove pick);
         # only meaningful where the hull candidate won the strict-< scan.
-        # The compare is against dw's OWN max (not `best`): XLA may fuse the
-        # dw FMA chain differently from the dots_all one it was derived
-        # from, so the two can disagree in the last ulp — a self-consistent
-        # max keeps the maximal-plane set exact under any fusion
+        # The compare is against dw's OWN max (not `best`): the compiler may
+        # fuse the dw FMA chain differently from the hvals one it was
+        # derived from, so the two can disagree in the last ulp — a
+        # self-consistent max keeps the maximal-plane set exact under any
+        # fusion
         ohm = (dw == jnp.max(dw, axis=0, keepdims=True)).astype(jnp.float32)
         cnt = jnp.maximum(jnp.sum(ohm, axis=0, keepdims=True), 1.0)
         hx = jnp.sum(ohm * pnx, axis=0, keepdims=True) / cnt
