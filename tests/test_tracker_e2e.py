@@ -48,7 +48,11 @@ def test_dynamics_only_tracking_parity(golden, hand_model, bank):
     step = jax.jit(lambda s, d: update(s, hand_model, None, d, cam, config,
                                        params)[0])
     fd = jax.jit(lambda p: fake_depth(p, hand_model, cam))
-    ref = np.array(golden["dyntrack_poses"], np.float32).reshape(30, 17, 7)
+    # the committed golden runs 64 frames since r5 (GG_NDYN); this CPU gate
+    # keeps its calibrated 30-frame stable-regime window — the full horizon
+    # is pinned by eval/dyntrack_kernel_r*.json with the chaos control
+    ref = np.array(golden["dyntrack_poses"],
+                   np.float32).reshape(-1, 17, 7)[:30]
     means = []
     for f in range(30):
         state = step(state, fd(jnp.asarray(bank[f])))

@@ -297,10 +297,12 @@ def bench_full():
                        "met_k1": min(by[("full", 1)],
                                      by[("full_rec", 1)]) >= 5000},
         "history_fps": {"round2_k1": 3098, "round3_k1": 3145,
-                        "round4_k1": 4353.2, "round2_k4": 7146,
-                        "round3_k4": 7191, "round4_k4": 10328.6,
+                        "round4_k1": 4353.2, "round5_k1": 5650.0,
+                        "round2_k4": 7146, "round3_k4": 7191,
+                        "round4_k4": 10328.6, "round5_k4": 12594.3,
                         "round3_dynamics_parity": 13502,
-                        "round4_dynamics_parity": 21364.6},
+                        "round4_dynamics_parity": 21364.6,
+                        "round5_dynamics_parity": 24077.6},
     }, "ROUND=%s python tools/eval_artifacts.py bench_full" % ROUND)
 
 
